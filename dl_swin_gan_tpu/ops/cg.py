@@ -1,0 +1,73 @@
+"""Conjugate gradient and power method under jit.
+
+TPU-native counterpart of reference `dl_cs/mri/algorithms.py:11-102`
+(ConjugateGradient, PowerMethod). Iteration counts are static so XLA
+unrolls/scans with fixed shapes; reverse-mode autodiff flows through the
+loop exactly as the reference backprops through unrolled CG.
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def zdot(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Complex inner product <x1, x2> = sum(conj(x1) * x2).
+
+    Reference `ConjugateGradient.zdot` (`algorithms.py:32-36`).
+    """
+    return jnp.sum(jnp.conj(x1) * x2)
+
+
+def zdot_single(x: jnp.ndarray) -> jnp.ndarray:
+    """Real-valued <x, x> (`algorithms.py:38-42`)."""
+    return jnp.real(zdot(x, x))
+
+
+def conjugate_gradient(A: Callable, x0: jnp.ndarray, y: jnp.ndarray,
+                       num_iter: int) -> jnp.ndarray:
+    """Solve A x = y for SPD (normal-equation) operator A, fixed iterations.
+
+    Matches reference semantics (`algorithms.py:44-73`): no early exit, no
+    preconditioner, complex dot products. Uses lax.fori_loop with a static
+    bound, which XLA converts to a differentiable scan.
+    """
+    r0 = y - A(x0)
+
+    def body(_, state):
+        x, p, r, rsold = state
+        Ap = A(p)
+        pAp = zdot(p, Ap)
+        alpha = rsold / pAp
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rsnew = zdot_single(r)
+        beta = rsnew / rsold
+        p = beta * p + r
+        return (x, p, r, rsnew)
+
+    state = (x0, r0, r0, zdot_single(r0))
+    x, _, _, _ = jax.lax.fori_loop(0, num_iter, body, state)
+    return x
+
+
+def power_method(A: jnp.ndarray, num_iter: int, key: jax.Array,
+                 eps: float = 1e-6) -> jnp.ndarray:
+    """Largest singular value of each matrix in a batch [B, m, n].
+
+    Reference `PowerMethod` (`algorithms.py:76-102`): iterate v <- A^H A v,
+    track ||v||. Returns [B] singular-value estimates.
+    """
+    b, m, n = A.shape
+    v = jax.random.uniform(key, (b, n, 1), dtype=jnp.float32).astype(A.dtype)
+    AhA = jnp.einsum("bmn,bmk->bnk", jnp.conj(A), A)
+
+    def body(_, state):
+        v, _ = state
+        v = jnp.einsum("bnk,bkl->bnl", AhA, v)
+        ev = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=1, keepdims=True))
+        return (v / (ev + eps), ev)
+
+    _, ev = jax.lax.fori_loop(0, num_iter, body, (v, jnp.zeros((b, 1, 1))))
+    return ev.reshape(b)

@@ -1,0 +1,78 @@
+"""SENSE forward / adjoint / normal operators as pure functions.
+
+TPU-native counterpart of reference `dl_cs/mri/transforms.py:49-111`
+(SenseModel). The forward model is
+    y = W . F . S x        (image -> masked multicoil k-space)
+and the adjoint
+    x = S^H . F^H . W y    (masked k-space -> coil-combined image)
+
+Shapes (identical to the reference so HDF5 data ports verbatim):
+    x     [B, E, T, Y, X]      complex  (E = ESPIRiT emaps)
+    y     [B, C, T, Y, X]      complex  (C = coils)
+    maps  [B, E, C, 1, Y, X]   complex
+    mask  [B, 1|C, T, Y, X]    real or None (sampling weights W)
+
+Pure functions keep these jit/vmap/pjit friendly; `SenseOp` is a light
+closure matching the reference's `A(data, adjoint=...)` calling convention
+so solver code reads like the math.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+
+from dl_swin_gan_tpu.ops.fft import fftc, ifftc
+
+
+def sense_forward(x: jnp.ndarray, maps: jnp.ndarray,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Image -> masked multicoil k-space: y = W*F(sum_e maps_e * x_e).
+
+    Reference `_forward_op` (`transforms.py:92-98`): unsqueeze coil dim,
+    multiply by maps, sum over emaps, FFT, mask.
+    """
+    # x: [B, E, T, Y, X] -> [B, E, 1, T, Y, X]; maps: [B, E, C, 1, Y, X]
+    coil_ims = jnp.sum(x[:, :, None] * maps, axis=1)  # [B, C, T, Y, X]
+    ksp = fftc(coil_ims, ndims=2)
+    if mask is not None:
+        ksp = ksp * mask
+    return ksp
+
+
+def sense_adjoint(y: jnp.ndarray, maps: jnp.ndarray,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Masked k-space -> image: x = sum_c conj(maps_c) * F^H(W*y).
+
+    Reference `_adjoint_op` (`transforms.py:84-90`).
+    """
+    if mask is not None:
+        y = y * mask
+    coil_ims = ifftc(y, ndims=2)  # [B, C, T, Y, X]
+    # [B, 1, C, T, Y, X] * conj(maps)[B, E, C, 1, Y, X] -> sum coils
+    return jnp.sum(coil_ims[:, None] * jnp.conj(maps), axis=2)
+
+
+def sense_normal(x: jnp.ndarray, maps: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Normal operator A^H A x (the CG hot loop; fusion target for Pallas)."""
+    return sense_adjoint(sense_forward(x, maps, mask), maps, mask)
+
+
+@dataclass(frozen=True)
+class SenseOp:
+    """Callable SENSE operator closed over (maps, mask).
+
+    Mirrors the reference `SenseModel` API: `A(x)` is the forward op,
+    `A(y, adjoint=True)` the adjoint. Weights default to 1 (no mask).
+    """
+    maps: jnp.ndarray
+    mask: Optional[jnp.ndarray] = None
+
+    def __call__(self, data: jnp.ndarray, adjoint: bool = False) -> jnp.ndarray:
+        if adjoint:
+            return sense_adjoint(data, self.maps, self.mask)
+        return sense_forward(data, self.maps, self.mask)
+
+    def normal(self, x: jnp.ndarray) -> jnp.ndarray:
+        return sense_normal(x, self.maps, self.mask)

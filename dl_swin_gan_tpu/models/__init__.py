@@ -1,0 +1,67 @@
+"""Denoiser backbones (flax.linen modules, channels-last TPU layout).
+
+TPU-native counterpart of the reference `dl_cs/models/` zoo. Instead of the
+reference's class-per-variant sprawl (six near-identical `unrolledX.py`
+files), backbones are registered here and composed with solvers from
+`dl_swin_gan_tpu.solvers`.
+"""
+
+from dl_swin_gan_tpu.models.layers import (
+    ComplexConv,
+    ConvBlock,
+    ResBlock,
+    activation,
+    normalize,
+    to_channels_last,
+    to_solver_layout,
+)
+from dl_swin_gan_tpu.models.resnet import ResNet3D
+
+
+def build_denoiser(cfg):
+    """Build a denoiser backbone from a config node (MODEL.MODEL_TYPE).
+
+    Dispatch mirrors the reference's per-script model choice
+    (run_script.sh model_type RES/SE/CBAM/SWIN/DIT/Latte).
+    """
+    p = cfg.MODEL.PARAMETERS
+    model_type = cfg.MODEL.MODEL_TYPE.upper()
+    common = dict(
+        num_emaps=p.NUM_EMAPS,
+        num_features=p.NUM_FEATURES,
+        kernel_size=p.CONV_BLOCK.KERNEL_SIZE[0],
+        use_complex_layers=p.CONV_BLOCK.COMPLEX,
+        circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
+        act_type=p.CONV_BLOCK.ACTIVATION,
+    )
+    if model_type == "RES":
+        return ResNet3D(num_resblocks=p.NUM_RESBLOCKS, **common)
+    if model_type == "SE":
+        from dl_swin_gan_tpu.models.se import SEResNet3D
+        return SEResNet3D(num_resblocks=p.NUM_RESBLOCKS, reduction=p.RR, **common)
+    if model_type == "CBAM":
+        from dl_swin_gan_tpu.models.cbam import CBAMResNet3D
+        return CBAMResNet3D(num_resblocks=p.NUM_RESBLOCKS, reduction=p.RR, **common)
+    if model_type == "SWIN":
+        from dl_swin_gan_tpu.models.swin import SwinNet3D
+        return SwinNet3D(
+            num_swinblocks=p.NUM_SWINBLOCKS,
+            depths=(6,), num_heads=(8,), window_size=(7, 8, 8),
+            num_emaps=p.NUM_EMAPS, num_features=p.NUM_FEATURES,
+            use_complex_layers=False,
+        )
+    if model_type == "DIT":
+        from dl_swin_gan_tpu.models.dit import DiTResNet
+        return DiTResNet(
+            num_emaps=p.NUM_EMAPS, hidden_size=p.NUM_FEATURES,
+            depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
+            patch_size=(2, 4, 4), learn_sigma=False,
+        )
+    if model_type == "LATTE":
+        from dl_swin_gan_tpu.models.latte import LatteNet
+        return LatteNet(
+            num_emaps=p.NUM_EMAPS, hidden_size=p.NUM_FEATURES,
+            depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
+            patch_size=4, learn_sigma=False,
+        )
+    raise ValueError(f"Unknown MODEL_TYPE: {model_type}")

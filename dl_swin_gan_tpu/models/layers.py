@@ -1,0 +1,170 @@
+"""Shared conv layers (flax.linen, channels-last NTYXC layout).
+
+TPU-native counterpart of reference `dl_cs/models/resnet3d.py:12-240`
+(Normalization/Activation/Conv3d/ComplexConv3d/ConvBlock/ResBlock). One
+implementation serves the 1D/2D/3D variants the reference duplicates across
+resnet{1,2,3}d.py.
+
+Layout: solvers hold images as [N, E, T, Y, X] complex64 (FFT-friendly);
+denoisers run channels-last [N, T, Y, X, C] (conv-friendly). Complex
+convolution is realized as ONE real convolution on stacked real/imag
+features with a block-structured kernel [[X, Y], [-Y, X]] — mathematically
+identical to the reference's two-conv expansion (resnet3d.py:92-106) but a
+single large MXU op instead of four small ones.
+"""
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def to_channels_last(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, C, *spatial] -> [N, *spatial, C]."""
+    return jnp.moveaxis(x, 1, -1)
+
+
+def to_solver_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, *spatial, C] -> [N, C, *spatial]."""
+    return jnp.moveaxis(x, -1, 1)
+
+
+def activation(x: jnp.ndarray, act_type: str = "relu") -> jnp.ndarray:
+    """Activation applied separately to real/imag parts when complex.
+
+    Reference `Activation` (`resnet3d.py:35-55`).
+    """
+    if act_type == "none":
+        return x
+    fn = {"relu": nn.relu, "leaky_relu": nn.leaky_relu}.get(act_type)
+    if fn is None:
+        raise ValueError(f"Invalid activation type: {act_type}")
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(fn(x.real), fn(x.imag))
+    return fn(x)
+
+
+def normalize(x: jnp.ndarray, norm_type: str = "none") -> jnp.ndarray:
+    """Parameter-free instance norm (affine=False), split over real/imag.
+
+    Reference `Normalization` (`resnet3d.py:12-32`). 'batch' (affine=False,
+    eval-mode-free in the reference default config) is mapped to instance
+    norm statistics per example — the reference default is 'none' anyway.
+    """
+    if norm_type == "none":
+        return x
+    if norm_type not in ("instance", "batch"):
+        raise ValueError(f"Invalid normalization type: {norm_type}")
+
+    def _inorm(v):
+        axes = tuple(range(1, v.ndim - 1))  # spatial dims (channels-last)
+        mean = v.mean(axes, keepdims=True)
+        var = v.var(axes, keepdims=True)
+        return (v - mean) * jax.lax.rsqrt(var + 1e-5)
+
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(_inorm(x.real), _inorm(x.imag))
+    return _inorm(x)
+
+
+class ComplexConv(nn.Module):
+    """Complex-valued ND convolution as one block-structured real conv.
+
+    (X + iY) * (a + ib) = (X*a - Y*b) + i(X*b + Y*a)
+    Reference `ComplexConv3d` (`resnet3d.py:75-106`). Input/output are
+    complex channels-last arrays; internally the real/imag features are
+    concatenated and convolved with kernel [[X, Y], [-Y, X]] so the whole
+    complex product is a single MXU contraction.
+    """
+    features: int
+    kernel_size: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout = x.shape[-1], self.features
+        kshape = tuple(self.kernel_size) + (cin, cout)
+        kx = self.param("kernel_re", nn.initializers.lecun_normal(), kshape)
+        ky = self.param("kernel_im", nn.initializers.lecun_normal(), kshape)
+        br = self.param("bias_re", nn.initializers.zeros, (cout,))
+        bi = self.param("bias_im", nn.initializers.zeros, (cout,))
+
+        # block kernel over stacked [re, im] features
+        top = jnp.concatenate([kx, ky], axis=-1)     # produces [re_out, im_out] from re_in
+        bot = jnp.concatenate([-ky, kx], axis=-1)    # ... from im_in
+        kernel = jnp.concatenate([top, bot], axis=-2)  # [*K, 2cin, 2cout]
+
+        xr = jnp.concatenate([x.real, x.imag], axis=-1)
+        ndim = len(self.kernel_size)
+        out = jax.lax.conv_general_dilated(
+            xr, kernel,
+            window_strides=(1,) * ndim,
+            padding="SAME",
+            dimension_numbers=nn.linear._conv_dimension_numbers(xr.shape),
+        )
+        out = out + jnp.concatenate([br, bi])
+        return jax.lax.complex(out[..., :cout], out[..., cout:])
+
+
+class Conv(nn.Module):
+    """Real ND conv with SAME padding (reference `Conv3d`, resnet3d.py:58-72)."""
+    features: int
+    kernel_size: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.features, self.kernel_size, padding="SAME")(x)
+
+
+class ConvBlock(nn.Module):
+    """Pre-activation block: Norm -> Act -> Conv (He et al., arXiv:1603.05027).
+
+    Reference `ConvBlock` (`resnet3d.py:163-208`).
+    """
+    features: int
+    kernel_size: Tuple[int, ...]
+    act_type: str = "relu"
+    norm_type: str = "none"
+    is_complex: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = normalize(x, self.norm_type)
+        x = activation(x, self.act_type)
+        conv = ComplexConv if self.is_complex else Conv
+        return conv(self.features, self.kernel_size)(x)
+
+
+class ResBlock(nn.Module):
+    """Two ConvBlocks + residual (reference `ResBlock`, resnet3d.py:214-240)."""
+    features: int
+    kernel_size: Tuple[int, ...]
+    act_type: str = "relu"
+    is_complex: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = ConvBlock(self.features, self.kernel_size, self.act_type,
+                      is_complex=self.is_complex)(x)
+        h = ConvBlock(self.features, self.kernel_size, self.act_type,
+                      is_complex=self.is_complex)(h)
+        return h + x
+
+
+def circular_pad_time(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Circularly pad the time axis (axis 1 in NTYXC) by `pad` on both sides.
+
+    Reference pads through time then center-crops back
+    (`resnet3d.py:277-287`) — the cine cycle is periodic.
+    """
+    if pad == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[1] = (pad, pad)
+    return jnp.pad(x, pads, mode="wrap")
+
+
+def crop_time(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    if pad == 0:
+        return x
+    return x[:, pad:-pad]

@@ -1,0 +1,245 @@
+"""Single pjit train/val step + training loop.
+
+TPU-native counterpart of reference `scripts/train.py` (LitUnrolled +
+Lightning Trainer) — one jitted train step over a ('data','fsdp') mesh
+replaces Lightning DDP/DeepSpeed; orbax replaces ModelCheckpoint; a JSONL +
+TensorBoard metrics writer replaces TensorBoardLogger. The same Trainer
+drives every unrolled variant (RES/SE/CBAM/SWIN) — they differ only in the
+denoiser module, mirroring how the reference's train_{se,cbam,swin}.py are
+whitespace clones of train.py.
+"""
+
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl_swin_gan_tpu.data import CinePreprocess, DataLoader, Hdf5Dataset
+from dl_swin_gan_tpu.models import build_denoiser
+from dl_swin_gan_tpu.parallel.mesh import (
+    batch_sharding, fsdp_shardings, make_mesh, replicated, shard_batch,
+)
+from dl_swin_gan_tpu.solvers import build_solver
+from dl_swin_gan_tpu.train import packing
+from dl_swin_gan_tpu.train.checkpoint import CheckpointManager
+from dl_swin_gan_tpu.train.losses import compute_metrics, select_loss
+from dl_swin_gan_tpu.train.train_state import TrainState, ema_update, make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class MetricsWriter:
+    """JSONL always; TensorBoard scalars when tensorboardX is available."""
+
+    def __init__(self, output_dir: str):
+        os.makedirs(output_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(output_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(output_dir, "exp"))
+        except Exception:
+            pass
+
+    def scalars(self, step: int, metrics: Dict[str, float]) -> None:
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def image(self, step: int, tag: str, img: np.ndarray) -> None:
+        if self._tb is not None:
+            lo, hi = img.min(), img.max()
+            img = (img - lo) / (hi - lo + 1e-12)
+            self._tb.add_image(tag, img[None], step)  # [1, H, W]
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb:
+            self._tb.close()
+
+
+class Trainer:
+    """Config-driven trainer for unrolled reconstruction models."""
+
+    def __init__(self, cfg, use_ema: bool = False, ema_decay: float = 0.9999,
+                 mesh=None, steps_per_epoch_hint: int = 1):
+        self.cfg = cfg
+        self.use_ema = use_ema
+        self.ema_decay = ema_decay
+        self.mesh = mesh if mesh is not None else make_mesh(
+            data=cfg.PARALLEL.DATA_AXIS, fsdp=cfg.PARALLEL.FSDP_AXIS)
+        self.model = build_solver(cfg, lambda: build_denoiser(cfg))
+        self.tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch_hint)
+        self.loss_name = cfg.MODEL.RECON_LOSS.NAME
+        self.loss_weight = cfg.MODEL.RECON_LOSS.LOSS_WEIGHT
+        self.renormalize = cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA
+        self._train_step = None
+        self._val_step = None
+
+    # -- model application on an unpacked batch ------------------------------
+    def _apply(self, params, batch):
+        return self.model.apply(
+            {"params": params}, batch["kspace"], batch["maps"], batch["mask"],
+            x0=batch.get("init_image"))
+
+    def _metrics(self, pred, batch, tag):
+        target = batch["target"]
+        if self.renormalize:
+            scale = batch["scale"].reshape((-1,) + (1,) * (pred.ndim - 1))
+            pred = pred * scale
+            target = target * scale
+        return compute_metrics(pred, target, weight=self.loss_weight, tag=tag)
+
+    # -- jitted steps ---------------------------------------------------------
+    def init_state(self, sample_batch: dict, seed: Optional[int] = None) -> TrainState:
+        """Initialize (params, opt_state, ema) sharded over the mesh."""
+        seed = self.cfg.SEED if seed is None else seed
+        packed = packing.pack(sample_batch)
+
+        def _init(packed_batch):
+            batch = packing.unpack(packed_batch)
+            params = self.model.init(
+                jax.random.PRNGKey(seed), batch["kspace"], batch["maps"],
+                batch["mask"], x0=batch.get("init_image"))["params"]
+            opt_state = self.tx.init(params)
+            ema = jax.tree.map(lambda p: p, params) if self.use_ema else {}
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              opt_state=opt_state, ema_params=ema)
+
+        abstract = jax.eval_shape(_init, packed)
+        shardings = fsdp_shardings(abstract, self.mesh)
+        init_jit = jax.jit(_init, out_shardings=shardings)
+        state = init_jit(shard_batch(packed, self.mesh))
+        self._state_shardings = shardings
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree.leaves(abstract.params))
+        logger.info("initialized %s params=%.3fM mesh=%s",
+                    self.cfg.MODEL.MODEL_TYPE, n_params / 1e6,
+                    dict(self.mesh.shape))
+        return state
+
+    def _build_steps(self):
+        def train_step(state: TrainState, packed_batch):
+            batch = packing.unpack(packed_batch)
+
+            def loss_fn(params):
+                pred = self._apply(params, batch)
+                metrics = self._metrics(pred, batch, "Train")
+                return select_loss(metrics, self.loss_name, "Train"), metrics
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            ema = (ema_update(state.ema_params, params, self.ema_decay)
+                   if self.use_ema else state.ema_params)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state, ema_params=ema)
+            return new_state, metrics
+
+        def val_step(params, packed_batch):
+            batch = packing.unpack(packed_batch)
+            pred = self._apply(params, batch)
+            metrics = self._metrics(pred, batch, "Validate")
+            vis = jnp.abs(pred[:, 0])  # [N, T, Y, X] magnitude, first emap
+            return metrics, vis
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._val_step = jax.jit(val_step)
+
+    # -- the loop --------------------------------------------------------------
+    def fit(self, train_dir: Optional[str] = None, val_dir: Optional[str] = None,
+            max_epochs: Optional[int] = None, resume: bool = False) -> TrainState:
+        cfg = self.cfg
+        train_dir = train_dir or cfg.DATASET.TRAIN[0]
+        val_dir = val_dir or (cfg.DATASET.VAL[0] if cfg.DATASET.VAL else None)
+        max_epochs = max_epochs or cfg.OPTIMIZER.MAX_EPOCHS
+
+        train_data = Hdf5Dataset(train_dir, CinePreprocess(cfg, use_seed=False),
+                                 sample_rate=cfg.DATALOADER.SUBSAMPLE)
+        train_loader = DataLoader(train_data,
+                                  batch_size=cfg.DATALOADER.TRAIN_BATCH_SIZE,
+                                  num_workers=cfg.DATALOADER.NUM_WORKERS,
+                                  prefetch=cfg.DATALOADER.PREFETCH,
+                                  shuffle=True, seed=cfg.SEED)
+        val_loader = None
+        if val_dir:
+            val_data = Hdf5Dataset(
+                val_dir, CinePreprocess(cfg, aug_node=cfg.AUG_VAL, use_seed=True))
+            val_loader = DataLoader(val_data,
+                                    batch_size=cfg.DATALOADER.VAL_BATCH_SIZE,
+                                    num_workers=cfg.DATALOADER.NUM_WORKERS,
+                                    shuffle=False, drop_last=False)
+
+        sample = next(iter(train_loader))
+        state = self.init_state(sample)
+        self._build_steps()
+
+        writer = MetricsWriter(cfg.OUTPUT_DIR)
+        ckpt = CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "checkpoints"),
+                                 monitor=f"Validate/{self.loss_name}")
+        if resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            logger.info("resumed from step %d", int(state.step))
+
+        log_every = cfg.LOGGER.LOG_METRICS_EVERY_N_STEPS
+        img_every = cfg.LOGGER.LOG_IMAGES_EVERY_N_STEPS
+        t_start, steps_done = time.perf_counter(), 0
+
+        for epoch in range(max_epochs):
+            for batch in train_loader:
+                packed = shard_batch(packing.pack(batch), self.mesh)
+                state, metrics = self._train_step(state, packed)
+                steps_done += 1
+                step = int(state.step)
+                if step % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = time.perf_counter() - t_start
+                    m["Train/steps_per_sec"] = steps_done / dt
+                    writer.scalars(step, m)
+                    logger.info("epoch %d step %d %s=%.5f (%.2f it/s)", epoch,
+                                step, self.loss_name,
+                                m[f"Train/{self.loss_name}"],
+                                m["Train/steps_per_sec"])
+
+            if val_loader and (epoch + 1) % cfg.EVAL.RUN_EVERY_N_EPOCHS == 0:
+                val_metrics = self.validate(state, val_loader, writer)
+                ckpt.save(int(state.step), state, metrics=val_metrics)
+
+        if val_loader is None:
+            ckpt.save(int(state.step), state)
+        ckpt.close()
+        writer.close()
+        return state
+
+    def validate(self, state: TrainState, val_loader,
+                 writer: Optional[MetricsWriter] = None) -> Dict[str, float]:
+        if self._val_step is None:
+            self._build_steps()
+        acc: Dict[str, list] = {}
+        vis = None
+        for batch in val_loader:
+            packed = shard_batch(packing.pack(batch), self.mesh)
+            metrics, vis = self._val_step(state.params, packed)
+            for k, v in metrics.items():
+                acc.setdefault(k, []).append(float(v))
+        out = {k: float(np.mean(v)) for k, v in acc.items()}
+        step = int(state.step)
+        if writer is not None:
+            writer.scalars(step, out)
+            if vis is not None:
+                frames = np.asarray(vis)[0]  # [T, Y, X]
+                strip = np.concatenate(list(frames[:8]), axis=1)
+                writer.image(step, "Validate/magnitude", strip)
+        logger.info("validate step %d: %s", step,
+                    {k: round(v, 5) for k, v in out.items()})
+        return out

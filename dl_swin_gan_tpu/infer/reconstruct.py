@@ -1,0 +1,161 @@
+"""Batched jit reconstruction + H5/CFL frontends.
+
+TPU-native counterpart of reference `scripts/reconstruct.py` (CFL) and
+`scripts/reconstruct_h5.py` (H5): load checkpoint, preprocess per slice,
+run the unrolled model, rescale, write CFL in the scanner dim order. The
+reference's nn.DataParallel complex workaround disappears — batches shard
+over the mesh 'data' axis and complex stays inside jit.
+"""
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from dl_swin_gan_tpu.data import cfl
+from dl_swin_gan_tpu.infer.transforms import InferenceTransform, ResampleTransform
+from dl_swin_gan_tpu.models import build_denoiser
+from dl_swin_gan_tpu.solvers import build_solver
+from dl_swin_gan_tpu.train import packing
+
+logger = logging.getLogger(__name__)
+
+
+def load_checkpoint_params(ckpt_dir: str, step: Optional[int] = None,
+                           use_ema: bool = False):
+    """Restore raw params (or EMA params) from an orbax checkpoint dir."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoint found in {ckpt_dir}")
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    params = restored["ema_params"] if use_ema and restored.get("ema_params") \
+        else restored["params"]
+    logger.info("loaded checkpoint step %s from %s (ema=%s)", step, ckpt_dir,
+                use_ema)
+    return params
+
+
+class Reconstructor:
+    """Jitted reconstruction closed over a config-built unrolled model."""
+
+    def __init__(self, cfg, params):
+        self.cfg = cfg
+        self.params = params
+        self.model = build_solver(cfg, lambda: build_denoiser(cfg))
+
+        def _recon(params, packed):
+            b = packing.unpack(packed)
+            pred = self.model.apply({"params": params}, b["kspace"], b["maps"],
+                                    b["mask"], x0=b["init_image"])
+            scale = b["scale"].reshape((-1,) + (1,) * (pred.ndim - 1))
+            return packing.pack_jnp(pred * scale)
+
+        self._recon = jax.jit(_recon)
+
+    def __call__(self, batch: dict) -> np.ndarray:
+        """batch: dict of stacked numpy example arrays -> complex images."""
+        packed = packing.pack(batch)
+        out = self._recon(self.params, packed)
+        return packing.unpack_np(out).astype(np.complex64)
+
+
+def _batched(examples, batch_size):
+    for i in range(0, len(examples), batch_size):
+        chunk = examples[i:i + batch_size]
+        yield {k: np.stack([ex[k] for ex in chunk]) for k in chunk[0]}
+
+
+def reconstruct_h5_file(h5_path: str, out_directory: str, cfg, params,
+                        acceleration: float = 1, batch_size: int = 1) -> str:
+    """Reconstruct one prepared H5 file; writes `<name>_<R>accel.im` CFL.
+
+    accel > 1: re-undersample at the parity seed (reconstruct_h5.py:417-420).
+    accel == 1: write the fully-sampled adjoint recon (reconstruct_h5.py:456-458).
+    """
+    import h5py
+
+    name = os.path.splitext(os.path.basename(h5_path))[0]
+    accel_str = (str(int(acceleration)) if float(acceleration).is_integer()
+                 else str(acceleration))
+    out_path = os.path.join(out_directory, f"{name}_{accel_str}accel.im")
+    os.makedirs(out_directory, exist_ok=True)
+
+    if acceleration > 1:
+        transform = ResampleTransform(acceleration, cfg)
+    else:
+        transform = InferenceTransform(cfg, apply_fftmod=False)
+
+    with h5py.File(h5_path, "r") as f:
+        n_slices = f["kspace"].shape[0]
+        examples = [transform(f["kspace"][s], f["maps"][s])
+                    for s in range(n_slices)]
+
+    recon = Reconstructor(cfg, params) if acceleration > 1 else None
+
+    t0 = time.perf_counter()
+    out = []
+    for batch in _batched(examples, batch_size):
+        if acceleration > 1:
+            out.append(recon(batch))
+        else:
+            scale = batch["scale"].reshape((-1, 1, 1, 1, 1))
+            out.append((scale * batch["init_image"]).astype(np.complex64))
+    images = np.concatenate(out, axis=0)  # [slices, E, T, Y, X]
+    logger.info("reconstructed %s: %d slices in %.2fs", name, len(images),
+                time.perf_counter() - t0)
+
+    # scanner dim order [x, y, sl, emap, ph] + singleton tail
+    # (reconstruct_h5.py:219-231 write)
+    images = np.transpose(images, (4, 3, 0, 1, 2))
+    images = images[:, :, :, :, :, None, None, None]
+    cfl.write(out_path, images, order="F")
+    return out_path
+
+
+def reconstruct_cfl(file_ks: str, file_maps: str, file_im: str, cfg, params,
+                    batch_size: int = 1) -> str:
+    """Reconstruct scanner CFL k-space (BART dims) — the deployment path.
+
+    Mirrors reference CflDataset (reconstruct.py:57-120): BART dims
+    (kx, ky, slice, coil, emap, echo, _, phase) -> per-(slice, echo)
+    examples; fftmod applied; output written back in scanner dim order.
+    """
+    kspace = cfl.read(file_ks, order="F")
+    maps = cfl.read(file_maps, order="F")
+
+    shape_x, shape_y = kspace.shape[0], kspace.shape[1]
+    num_slices, num_coils = kspace.shape[2], kspace.shape[3]
+    num_echoes = kspace.shape[5] if kspace.ndim > 5 else 1
+    num_phases = kspace.shape[7] if kspace.ndim > 7 else 1
+    num_emaps = maps.shape[4] if maps.ndim > 4 else 1
+
+    kspace = kspace.reshape(shape_x, shape_y, num_slices, num_coils,
+                            num_echoes, num_phases)
+    maps = maps.reshape(shape_x, shape_y, num_slices, 1, num_coils, num_emaps)
+    kspace = np.transpose(kspace, (2, 4, 3, 5, 1, 0))  # [sl, ec, coil, ph, y, x]
+    maps = np.transpose(maps, (2, 5, 4, 3, 1, 0))      # [sl, em, coil, 1, y, x]
+
+    transform = InferenceTransform(cfg, apply_fftmod=True)
+    examples = [transform(kspace[sl, ec], maps[sl])
+                for ec in range(num_echoes) for sl in range(num_slices)]
+
+    recon = Reconstructor(cfg, params)
+    t0 = time.perf_counter()
+    out = [recon(b) for b in _batched(examples, batch_size)]
+    images = np.concatenate(out, axis=0)
+    logger.info("reconstructed %s: %d examples in %.2fs", file_ks,
+                len(images), time.perf_counter() - t0)
+
+    image_dims = (num_slices, num_echoes, num_emaps, num_phases,
+                  shape_y, shape_x)
+    images = images.reshape(image_dims)
+    images = np.transpose(images, (5, 4, 0, 2, 1, 3))  # [x, y, sl, em, ec, ph]
+    images = images[:, :, :, None, :, :, None, :]
+    cfl.write(file_im, images, order="F")
+    return file_im

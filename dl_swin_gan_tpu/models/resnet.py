@@ -1,25 +1,99 @@
-"""3D ResNet denoiser for cine volumes.
+"""3D ResNet denoiser family (plain / squeeze-excitation / CBAM).
 
 TPU-native counterpart of reference `dl_cs/models/resnet3d.py:243-317`
-(ResNet): pre-activation conv blocks, optional complex-valued convs, circular
-padding through time with center-crop undo, global residual, complex channel
-count scaled by 1/sqrt(2).
+(ResNet), `se3d.py:300-514` (SeBlock/SeResBlock/SeResNet) and
+`CBAM.py:394-521` (CABlock/SABlock/CBAMResBlock) — the reference's three
+structurally identical trunks collapse into one `GatedResNet3D` with a
+`gate` switch. Semantics preserved:
+
+  - pre-activation conv blocks, complex convs optional, channel count
+    scaled 1/sqrt(2) for complex nets (resnet3d.py:257)
+  - circular padding through time + center-crop undo (resnet3d.py:277-287)
+  - global residual around the whole stack (resnet3d.py:312)
+  - SE gate: GAP -> FC(C->rr) -> ReLU -> FC(rr->C) -> sigmoid, the same
+    real FC applied to re/im separately, gate multiplies the block output
+    before the residual add (se3d.py:300-438). rr is an absolute hidden
+    width, not a divisor (se3d.py:324-326).
+  - CBAM: channel attention (avg-pool path only; the max-pool path is
+    commented out upstream, CBAM.py:411-422) then spatial attention
+    (channel-mean -> k=5 conv, NO sigmoid — faithful to CBAM.py:459-475),
+    then residual.
 
 The module maps solver-layout complex images [N, E, T, Y, X] to themselves;
 internally it runs channels-last [N, T, Y, X, C].
 """
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from dl_swin_gan_tpu.models.layers import (
-    ConvBlock, ResBlock, circular_pad_time, crop_time,
+    ComplexConv, Conv, ConvBlock, activation, circular_pad_time, crop_time,
     to_channels_last, to_solver_layout,
 )
 
 
-class ResNet3D(nn.Module):
+def _split_apply(fn, x):
+    """Apply a real-valued fn separately to re/im of a complex array."""
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(fn(x.real), fn(x.imag))
+    return fn(x)
+
+
+class ChannelGate(nn.Module):
+    """SE / CBAM-CA channel gate: GAP -> FC -> ReLU -> FC -> sigmoid."""
+    reduction: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x channels-last [N, T, Y, X, C] -> pooled [N, C]
+        pooled = x.mean(axis=(1, 2, 3))
+        fc1 = nn.Dense(self.reduction)
+        fc2 = nn.Dense(x.shape[-1])
+        g = _split_apply(fc1, pooled)
+        g = _split_apply(jax.nn.relu, g)
+        g = _split_apply(fc2, g)
+        g = _split_apply(jax.nn.sigmoid, g)
+        return g[:, None, None, None, :]  # broadcast over T, Y, X
+
+
+class SpatialGate(nn.Module):
+    """CBAM-SA: channel-mean -> k=5 conv -> multiply (no sigmoid upstream)."""
+    is_complex: bool
+
+    @nn.compact
+    def __call__(self, x):
+        s = x.mean(axis=-1, keepdims=True)  # [N, T, Y, X, 1]
+        conv = ComplexConv if self.is_complex else Conv
+        return conv(1, (5, 5, 5))(s)
+
+
+class GatedResBlock(nn.Module):
+    """Two ConvBlocks, optional channel/spatial gates, residual add."""
+    features: int
+    kernel_size: int
+    act_type: str
+    is_complex: bool
+    gate: str          # none | se | cbam
+    reduction: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = (self.kernel_size,) * 3
+        h = ConvBlock(self.features, k, self.act_type,
+                      is_complex=self.is_complex)(x)
+        h = ConvBlock(self.features, k, self.act_type,
+                      is_complex=self.is_complex)(h)
+        if self.gate in ("se", "cbam"):
+            h = h * ChannelGate(self.reduction)(h)
+        if self.gate == "cbam":
+            h = h * SpatialGate(self.is_complex)(h)
+        return h + x
+
+
+class GatedResNet3D(nn.Module):
     num_resblocks: int = 2
     num_emaps: int = 2
     num_features: int = 64
@@ -27,12 +101,12 @@ class ResNet3D(nn.Module):
     act_type: str = "relu"
     use_complex_layers: bool = True
     circular_pad: bool = True
+    gate: str = "none"
+    reduction: int = 16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = (self.kernel_size,) * 3
-        # parameter-count parity: complex nets get chans/sqrt(2)
-        # (reference resnet3d.py:257)
         chans = (int(self.num_features / 1.4142) + 1
                  if self.use_complex_layers else self.num_features)
         pad = ((2 * self.num_resblocks + 2) * (self.kernel_size - 1) // 2
@@ -40,7 +114,6 @@ class ResNet3D(nn.Module):
 
         h = to_channels_last(x)  # [N, T, Y, X, E] complex
         if not self.use_complex_layers:
-            # [N, T, Y, X, 2E] float (reference cat(real, imag), resnet3d.py:275)
             h = jnp.concatenate([h.real, h.imag], axis=-1)
         in_chans = h.shape[-1]
 
@@ -49,11 +122,11 @@ class ResNet3D(nn.Module):
         h = ConvBlock(chans, k, act_type="none",
                       is_complex=self.use_complex_layers)(h)
         for _ in range(self.num_resblocks):
-            h = ResBlock(chans, k, act_type=self.act_type,
-                         is_complex=self.use_complex_layers)(h)
+            h = GatedResBlock(chans, self.kernel_size, self.act_type,
+                              self.use_complex_layers, self.gate,
+                              self.reduction)(h)
         h = ConvBlock(in_chans, k, act_type=self.act_type,
                       is_complex=self.use_complex_layers)(h)
-        # global residual around the whole stack (reference resnet3d.py:312)
         h = h + resid
         h = crop_time(h, pad)
 
@@ -61,3 +134,8 @@ class ResNet3D(nn.Module):
             c = h.shape[-1] // 2
             h = jax.lax.complex(h[..., :c], h[..., c:])
         return to_solver_layout(h)
+
+
+class ResNet3D(GatedResNet3D):
+    """Plain ResNet (reference resnet3d.py)."""
+    gate: str = "none"

@@ -18,11 +18,13 @@ from dl_swin_gan_tpu.models.layers import (
 from dl_swin_gan_tpu.models.resnet import ResNet3D
 
 
-def build_denoiser(cfg):
+def build_denoiser(cfg, deterministic: bool = True):
     """Build a denoiser backbone from a config node (MODEL.MODEL_TYPE).
 
     Dispatch mirrors the reference's per-script model choice
     (run_script.sh model_type RES/SE/CBAM/SWIN/DIT/Latte).
+    `deterministic=False` enables stochastic depth / dropout (training mode)
+    for the transformer backbones; conv backbones ignore it.
     """
     p = cfg.MODEL.PARAMETERS
     model_type = cfg.MODEL.MODEL_TYPE.upper()
@@ -48,20 +50,22 @@ def build_denoiser(cfg):
             num_swinblocks=p.NUM_SWINBLOCKS,
             depths=(6,), num_heads=(8,), window_size=(7, 8, 8),
             num_emaps=p.NUM_EMAPS, num_features=p.NUM_FEATURES,
-            use_complex_layers=False,
+            use_complex_layers=False, deterministic=deterministic,
         )
     if model_type == "DIT":
         from dl_swin_gan_tpu.models.dit import DiTResNet
         return DiTResNet(
             num_emaps=p.NUM_EMAPS, hidden_size=p.NUM_FEATURES,
             depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
-            patch_size=(2, 4, 4), learn_sigma=False,
+            patch_size=tuple(p.PATCH_SIZE), learn_sigma=p.LEARN_SIGMA,
+            deterministic=deterministic,
         )
     if model_type == "LATTE":
         from dl_swin_gan_tpu.models.latte import LatteNet
         return LatteNet(
             num_emaps=p.NUM_EMAPS, hidden_size=p.NUM_FEATURES,
             depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
-            patch_size=4, learn_sigma=False,
+            patch_size=tuple(p.PATCH_SIZE)[-1], learn_sigma=p.LEARN_SIGMA,
+            deterministic=deterministic,
         )
     raise ValueError(f"Unknown MODEL_TYPE: {model_type}")

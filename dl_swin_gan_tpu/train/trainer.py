@@ -77,7 +77,10 @@ class Trainer:
         self.ema_decay = ema_decay
         self.mesh = mesh if mesh is not None else make_mesh(
             data=cfg.PARALLEL.DATA_AXIS, fsdp=cfg.PARALLEL.FSDP_AXIS)
+        # eval model is deterministic; train model enables dropout/drop-path
         self.model = build_solver(cfg, lambda: build_denoiser(cfg))
+        self.train_model = build_solver(
+            cfg, lambda: build_denoiser(cfg, deterministic=False))
         self.tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch_hint)
         self.loss_name = cfg.MODEL.RECON_LOSS.NAME
         self.loss_weight = cfg.MODEL.RECON_LOSS.LOSS_WEIGHT
@@ -86,10 +89,11 @@ class Trainer:
         self._val_step = None
 
     # -- model application on an unpacked batch ------------------------------
-    def _apply(self, params, batch):
-        return self.model.apply(
+    def _apply(self, params, batch, train: bool = False, rngs=None):
+        model = self.train_model if train else self.model
+        return model.apply(
             {"params": params}, batch["kspace"], batch["maps"], batch["mask"],
-            x0=batch.get("init_image"))
+            x0=batch.get("init_image"), rngs=rngs)
 
     def _metrics(self, pred, batch, tag):
         target = batch["target"]
@@ -128,11 +132,14 @@ class Trainer:
         return state
 
     def _build_steps(self):
+        base_key = jax.random.PRNGKey(self.cfg.SEED + 17)
+
         def train_step(state: TrainState, packed_batch):
             batch = packing.unpack(packed_batch)
+            rngs = {"dropout": jax.random.fold_in(base_key, state.step)}
 
             def loss_fn(params):
-                pred = self._apply(params, batch)
+                pred = self._apply(params, batch, train=True, rngs=rngs)
                 metrics = self._metrics(pred, batch, "Train")
                 return select_loss(metrics, self.loss_name, "Train"), metrics
 

@@ -58,6 +58,7 @@ def build_denoiser(cfg, deterministic: bool = True):
             num_emaps=p.NUM_EMAPS, hidden_size=p.NUM_FEATURES,
             depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
             patch_size=tuple(p.PATCH_SIZE), learn_sigma=p.LEARN_SIGMA,
+            num_blocks=p.NUM_RESBLOCKS, circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
             deterministic=deterministic,
         )
     if model_type == "LATTE":
@@ -66,6 +67,7 @@ def build_denoiser(cfg, deterministic: bool = True):
             num_emaps=p.NUM_EMAPS, hidden_size=p.NUM_FEATURES,
             depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
             patch_size=tuple(p.PATCH_SIZE)[-1], learn_sigma=p.LEARN_SIGMA,
+            num_blocks=p.NUM_RESBLOCKS, circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
             deterministic=deterministic,
         )
     raise ValueError(f"Unknown MODEL_TYPE: {model_type}")

@@ -97,6 +97,7 @@ class CfgNode(dict):
             for p in parts[:-1]:
                 node = node[p]
             old = node.get(parts[-1])
+            value = _decode_value(value)
             if isinstance(value, str) and old is not None and not isinstance(old, str):
                 value = yaml.safe_load(value)
             if isinstance(old, tuple) and isinstance(value, list):

@@ -98,12 +98,16 @@ class DataLoader:
             return {k: np.stack([ex[k] for ex in examples])
                     for k in examples[0]}
 
+        error = []
+
         def producer():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
                     q.put(collate(b))
+            except BaseException as e:  # propagate to the consumer
+                error.append(e)
             finally:
                 q.put(None)
 
@@ -115,5 +119,7 @@ class DataLoader:
                 if item is None:
                     break
                 yield item
+            if error:
+                raise error[0]
         finally:
             stop.set()

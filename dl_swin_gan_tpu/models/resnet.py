@@ -48,26 +48,27 @@ class ChannelGate(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x channels-last [N, T, Y, X, C] -> pooled [N, C]
-        pooled = x.mean(axis=(1, 2, 3))
+        # x channels-last [N, *spatial, C] -> pooled [N, C]
+        pooled = x.mean(axis=tuple(range(1, x.ndim - 1)))
         fc1 = nn.Dense(self.reduction)
         fc2 = nn.Dense(x.shape[-1])
         g = _split_apply(fc1, pooled)
         g = _split_apply(jax.nn.relu, g)
         g = _split_apply(fc2, g)
         g = _split_apply(jax.nn.sigmoid, g)
-        return g[:, None, None, None, :]  # broadcast over T, Y, X
+        return g.reshape((g.shape[0],) + (1,) * (x.ndim - 2) + (g.shape[-1],))
 
 
 class SpatialGate(nn.Module):
     """CBAM-SA: channel-mean -> k=5 conv -> multiply (no sigmoid upstream)."""
     is_complex: bool
+    ndim: int = 3
 
     @nn.compact
     def __call__(self, x):
-        s = x.mean(axis=-1, keepdims=True)  # [N, T, Y, X, 1]
+        s = x.mean(axis=-1, keepdims=True)  # [N, *spatial, 1]
         conv = ComplexConv if self.is_complex else Conv
-        return conv(1, (5, 5, 5))(s)
+        return conv(1, (5,) * self.ndim)(s)
 
 
 class GatedResBlock(nn.Module):
@@ -78,10 +79,11 @@ class GatedResBlock(nn.Module):
     is_complex: bool
     gate: str          # none | se | cbam
     reduction: int
+    ndim: int = 3
 
     @nn.compact
     def __call__(self, x):
-        k = (self.kernel_size,) * 3
+        k = (self.kernel_size,) * self.ndim
         h = ConvBlock(self.features, k, self.act_type,
                       is_complex=self.is_complex)(x)
         h = ConvBlock(self.features, k, self.act_type,
@@ -89,11 +91,16 @@ class GatedResBlock(nn.Module):
         if self.gate in ("se", "cbam"):
             h = h * ChannelGate(self.reduction)(h)
         if self.gate == "cbam":
-            h = h * SpatialGate(self.is_complex)(h)
+            h = h * SpatialGate(self.is_complex, self.ndim)(h)
         return h + x
 
 
 class GatedResNet3D(nn.Module):
+    """N-D gated ResNet trunk; ndim=3 is the cine denoiser, ndim=2/1 serve
+    the DSLR spatial/temporal nets (reference resnet2d.py / resnet1d.py are
+    structural clones of resnet3d.py). Circular padding applies to the first
+    spatial axis (time for 3D/1D, H for 2D — matching the reference's pad of
+    dim 2)."""
     num_resblocks: int = 2
     num_emaps: int = 2
     num_features: int = 64
@@ -103,10 +110,11 @@ class GatedResNet3D(nn.Module):
     circular_pad: bool = True
     gate: str = "none"
     reduction: int = 16
+    ndim: int = 3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k = (self.kernel_size,) * 3
+        k = (self.kernel_size,) * self.ndim
         chans = (int(self.num_features / 1.4142) + 1
                  if self.use_complex_layers else self.num_features)
         pad = ((2 * self.num_resblocks + 2) * (self.kernel_size - 1) // 2
@@ -124,7 +132,7 @@ class GatedResNet3D(nn.Module):
         for _ in range(self.num_resblocks):
             h = GatedResBlock(chans, self.kernel_size, self.act_type,
                               self.use_complex_layers, self.gate,
-                              self.reduction)(h)
+                              self.reduction, self.ndim)(h)
         h = ConvBlock(in_chans, k, act_type=self.act_type,
                       is_complex=self.use_complex_layers)(h)
         h = h + resid
@@ -137,5 +145,17 @@ class GatedResNet3D(nn.Module):
 
 
 class ResNet3D(GatedResNet3D):
-    """Plain ResNet (reference resnet3d.py)."""
+    """Plain 3D ResNet (reference resnet3d.py)."""
     gate: str = "none"
+
+
+class ResNet2D(GatedResNet3D):
+    """Plain 2D ResNet for DSLR spatial basis (reference resnet2d.py)."""
+    gate: str = "none"
+    ndim: int = 2
+
+
+class ResNet1D(GatedResNet3D):
+    """Plain 1D ResNet for DSLR temporal basis (reference resnet1d.py)."""
+    gate: str = "none"
+    ndim: int = 1

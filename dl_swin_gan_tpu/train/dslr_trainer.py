@@ -1,0 +1,70 @@
+"""DSLR trainer: unrolled low-rank alt-min models over (L, R) factors.
+
+TPU-native counterpart of reference `scripts/train_lr.py`: the preprocess
+runs with lr_decom=True (L_init/R_init from a truncated SVD of the
+sliding-window init), the BlockOp is built per image shape (train_lr.py
+builds ArrayToBlocks per step, :121-122 — here it's a trace-time object),
+and lambda_l / lambda_r scalars are logged like the reference does
+(:80-113).
+"""
+
+from dl_swin_gan_tpu.data import CinePreprocess
+from dl_swin_gan_tpu.ops.llr import BlockOp
+from dl_swin_gan_tpu.solvers.dslr import build_dslr_solver
+from dl_swin_gan_tpu.train.trainer import Trainer
+
+
+class DSLRTrainer(Trainer):
+    def __init__(self, cfg, **kw):
+        super().__init__(cfg, **kw)
+        self.block_size = cfg.MODEL.PARAMETERS.DSLR.BLOCK_SIZE
+        self.overlapping = cfg.MODEL.PARAMETERS.DSLR.OVERLAPPING
+
+    def _build_models(self, cfg):
+        self.model = build_dslr_solver(cfg)
+        self.train_model = self.model  # no dropout in the DSLR nets
+
+    def make_preprocess(self, aug_node=None, use_seed=False):
+        return CinePreprocess(self.cfg, aug_node=aug_node, use_seed=use_seed,
+                              lr_decom=True)
+
+    def _apply(self, params, batch, train: bool = False, rngs=None):
+        block_op = BlockOp(self.block_size, batch["target"].shape,
+                           overlapping=self.overlapping)
+        return self.model.apply(
+            {"params": params}, batch["kspace"], batch["maps"], batch["mask"],
+            batch["L_init"][0], batch["R_init"][0], block_op)  # bs=1, like
+        # the reference's L_init.squeeze(0) (train_lr.py:125)
+
+    def init_state(self, sample_batch, seed=None):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from dl_swin_gan_tpu.parallel.mesh import fsdp_shardings, shard_batch
+        from dl_swin_gan_tpu.train import packing
+        from dl_swin_gan_tpu.train.train_state import TrainState
+
+        seed = self.cfg.SEED if seed is None else seed
+        packed = packing.pack(sample_batch)
+
+        def _init(packed_batch):
+            b = packing.unpack(packed_batch)
+            block_op = BlockOp(self.block_size, b["target"].shape,
+                               overlapping=self.overlapping)
+            params = self.model.init(
+                jax.random.PRNGKey(seed), b["kspace"], b["maps"], b["mask"],
+                b["L_init"][0], b["R_init"][0], block_op)["params"]
+            opt_state = self.tx.init(params)
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              opt_state=opt_state, ema_params={})
+
+        abstract = jax.eval_shape(_init, packed)
+        shardings = fsdp_shardings(abstract, self.mesh)
+        state = jax.jit(_init, out_shardings=shardings)(
+            shard_batch(packed, self.mesh))
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(abstract.params))
+        import logging
+        logging.getLogger(__name__).info("DSLR %s: %.3fM params",
+                                         self.cfg.MODEL.META_ARCHITECTURE,
+                                         n / 1e6)
+        return state

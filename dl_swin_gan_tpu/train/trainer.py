@@ -77,16 +77,22 @@ class Trainer:
         self.ema_decay = ema_decay
         self.mesh = mesh if mesh is not None else make_mesh(
             data=cfg.PARALLEL.DATA_AXIS, fsdp=cfg.PARALLEL.FSDP_AXIS)
-        # eval model is deterministic; train model enables dropout/drop-path
-        self.model = build_solver(cfg, lambda: build_denoiser(cfg))
-        self.train_model = build_solver(
-            cfg, lambda: build_denoiser(cfg, deterministic=False))
+        self._build_models(cfg)
         self.tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch_hint)
         self.loss_name = cfg.MODEL.RECON_LOSS.NAME
         self.loss_weight = cfg.MODEL.RECON_LOSS.LOSS_WEIGHT
         self.renormalize = cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA
         self._train_step = None
         self._val_step = None
+
+    def _build_models(self, cfg):
+        # eval model is deterministic; train model enables dropout/drop-path
+        self.model = build_solver(cfg, lambda: build_denoiser(cfg))
+        self.train_model = build_solver(
+            cfg, lambda: build_denoiser(cfg, deterministic=False))
+
+    def make_preprocess(self, aug_node=None, use_seed=False):
+        return CinePreprocess(self.cfg, aug_node=aug_node, use_seed=use_seed)
 
     # -- model application on an unpacked batch ------------------------------
     def _apply(self, params, batch, train: bool = False, rngs=None):
@@ -171,7 +177,7 @@ class Trainer:
         val_dir = val_dir or (cfg.DATASET.VAL[0] if cfg.DATASET.VAL else None)
         max_epochs = max_epochs or cfg.OPTIMIZER.MAX_EPOCHS
 
-        train_data = Hdf5Dataset(train_dir, CinePreprocess(cfg, use_seed=False),
+        train_data = Hdf5Dataset(train_dir, self.make_preprocess(use_seed=False),
                                  sample_rate=cfg.DATALOADER.SUBSAMPLE)
         train_loader = DataLoader(train_data,
                                   batch_size=cfg.DATALOADER.TRAIN_BATCH_SIZE,
@@ -181,7 +187,7 @@ class Trainer:
         val_loader = None
         if val_dir:
             val_data = Hdf5Dataset(
-                val_dir, CinePreprocess(cfg, aug_node=cfg.AUG_VAL, use_seed=True))
+                val_dir, self.make_preprocess(aug_node=cfg.AUG_VAL, use_seed=True))
             val_loader = DataLoader(val_data,
                                     batch_size=cfg.DATALOADER.VAL_BATCH_SIZE,
                                     num_workers=cfg.DATALOADER.NUM_WORKERS,

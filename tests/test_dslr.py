@@ -1,0 +1,138 @@
+"""LLR block-op + DSLR solver tests, including golden parity of
+extract/combine against the reference torch implementation."""
+
+import importlib.util
+import sys
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dl_swin_gan_tpu.ops.llr import (
+    BlockOp, btranspose, compose, decompose, decompose_init,
+)
+from dl_swin_gan_tpu.ops.cg import zdot
+
+SHAPE = (1, 2, 6, 36, 28)  # [1, e, t, y, x]
+
+
+@pytest.fixture
+def image(make_complex):
+    return make_complex(SHAPE)
+
+
+def test_extract_combine_identity(image):
+    """combine(extract(x)) == x — the reference computes exactly this as its
+    normalization weights (lowrank.py:59-60)."""
+    op = BlockOp(8, SHAPE, overlapping=True, xp=np)
+    blocks = op.extract(image)
+    assert blocks.shape == (op.num_blocks, 2 * 64, 6)
+    back = op.combine(blocks)
+    np.testing.assert_allclose(back, image, rtol=1e-4, atol=1e-5)
+
+
+def test_blockop_adjointness(image):
+    """<extract(x), b> == <x, combine_unnormalized(b)> for the windowed
+    unfold — verified through jnp path for autodiff consistency."""
+    op = BlockOp(8, SHAPE, overlapping=True, xp=jnp)
+    x = jnp.asarray(image)
+    rngnp = np.random.RandomState(1)
+    b = jnp.asarray((rngnp.randn(op.num_blocks, 2 * 64, 6)
+                     + 1j * rngnp.randn(op.num_blocks, 2 * 64, 6))
+                    .astype(np.complex64))
+    # combine includes the weight normalization (not the pure adjoint), so
+    # test the adjoint identity on the unnormalized fold:
+    ex = op.extract(x)
+    w = op.weights
+
+    def combine_unnorm(bb):
+        return op._fold(bb * op.win)[..., (op.ny_pad - op.ny) // 2:
+                                     (op.ny_pad - op.ny) // 2 + op.ny,
+                                     (op.nx_pad - op.nx) // 2:
+                                     (op.nx_pad - op.nx) // 2 + op.nx]
+
+    lhs = zdot(ex, b)
+    rhs = zdot(x, combine_unnorm(b))
+    assert np.isclose(complex(lhs), complex(rhs), rtol=1e-3)
+
+
+def test_extract_matches_reference_torch(image):
+    """Golden parity of the block operator against the torch reference."""
+    try:
+        import torch
+        sys.path.insert(0, "/root/reference")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from dl_cs.mri.lowrank import ArrayToBlocks
+    except Exception:
+        pytest.skip("reference/torch unavailable")
+
+    ref_op = ArrayToBlocks(8, list(SHAPE), overlapping=True)
+    ref_blocks = ref_op(torch.from_numpy(image)).numpy()
+
+    op = BlockOp(8, SHAPE, overlapping=True, xp=np)
+    blocks = op.extract(image)
+    np.testing.assert_allclose(blocks, ref_blocks, rtol=1e-4, atol=1e-5)
+
+    # the reference combine mutates its input in-place (lowrank.py:167),
+    # and torch.from_numpy shares memory — hand it a copy
+    ref_back = ref_op(torch.from_numpy(blocks.copy()), adjoint=True).numpy()
+    back = op.combine(blocks)
+    np.testing.assert_allclose(back, ref_back, rtol=1e-4, atol=1e-5)
+
+
+def test_decompose_compose_lowrank(image):
+    """Full-rank decomposition reconstructs the image exactly."""
+    op = BlockOp(8, SHAPE, overlapping=True, xp=np)
+    blocks = op.extract(image)
+    L, R = decompose(blocks, rank=6, xp=np)  # t=6 => full rank
+    np.testing.assert_allclose(L @ btranspose(R), blocks, rtol=1e-3, atol=1e-3)
+    img = compose(L, R, op)
+    np.testing.assert_allclose(img, image, rtol=1e-3, atol=1e-4)
+
+
+def test_decompose_init_shapes(image):
+    L, R = decompose_init(image, block_size=8, rank=4)
+    op = BlockOp(8, SHAPE, xp=np)
+    assert L.shape == (op.num_blocks, 2 * 64, 4)
+    assert R.shape == (op.num_blocks, 6, 4)
+    assert L.dtype == np.complex64
+
+
+@pytest.mark.parametrize("mode", ["dslr-pgd", "dslr-cg-v1", "dslr-cg-v2",
+                                  "modslr-v1", "modslr-v2"])
+def test_dslr_solver_forward(make_complex, mode):
+    from dl_swin_gan_tpu.solvers.dslr import UnrolledLR
+
+    B, E, C, T, Y, X = 1, 1, 3, 4, 20, 16
+    rngnp = np.random.RandomState(0)
+    y = jnp.asarray(make_complex((B, C, T, Y, X)))
+    maps = jnp.asarray(make_complex((B, E, C, 1, Y, X)))
+    mask = jnp.asarray((rngnp.rand(B, 1, T, Y, X) > 0.4).astype(np.float32))
+
+    shape = (B, E, T, Y, X)
+    block_op = BlockOp(8, shape, xp=jnp)
+    init = np.zeros(shape, np.complex64)
+    init[:] = np.asarray(make_complex(shape))
+    L0, R0 = decompose_init(init, block_size=8, rank=3)
+
+    solver = UnrolledLR(mode=mode, num_unrolls=1, num_resblocks=1,
+                        num_features=8, num_emaps=E, num_basis=3,
+                        block_size=8, num_cg_steps=2)
+    variables = solver.init(jax.random.PRNGKey(0), y, maps, mask,
+                            jnp.asarray(L0), jnp.asarray(R0), block_op)
+    out = solver.apply(variables, y, maps, mask, jnp.asarray(L0),
+                       jnp.asarray(R0), block_op)
+    assert out.shape == shape
+    assert np.isfinite(np.abs(np.asarray(out))).all()
+
+    def loss(v):
+        o = solver.apply(v, y, maps, mask, jnp.asarray(L0), jnp.asarray(R0),
+                         block_op)
+        return jnp.mean(jnp.abs(o) ** 2)
+
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree.leaves(g)
+    assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)

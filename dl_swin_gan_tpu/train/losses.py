@@ -14,7 +14,8 @@ from dl_swin_gan_tpu.ops import metrics as M
 
 
 def compute_metrics(prediction: jnp.ndarray, target: jnp.ndarray,
-                    weight: bool = False, tag: str = "Train") -> Dict[str, jnp.ndarray]:
+                    weight: bool = False, tag: str = "Train",
+                    perceptual=None) -> Dict[str, jnp.ndarray]:
     out = {
         f"{tag}/complex_l1": M.l1(target, prediction, weight),
         f"{tag}/complex_l2": M.l2(target, prediction, weight),
@@ -24,6 +25,11 @@ def compute_metrics(prediction: jnp.ndarray, target: jnp.ndarray,
     out[f"{tag}/mag_l1"] = M.l1(mt, mp, weight)
     out[f"{tag}/mag_l2"] = M.l2(mt, mp, weight)
     out[f"{tag}/mag_psnr"] = M.psnr(mt, mp, weight)
+    if perceptual is not None:
+        # reference adds these only when selected as the training loss
+        # (train.py:56-57, 68-69)
+        out[f"{tag}/complex_vggloss"] = perceptual(target, prediction)
+        out[f"{tag}/mag_vggloss"] = perceptual(mt, mp)
     return out
 
 

@@ -82,6 +82,10 @@ class Trainer:
         self.loss_name = cfg.MODEL.RECON_LOSS.NAME
         self.loss_weight = cfg.MODEL.RECON_LOSS.LOSS_WEIGHT
         self.renormalize = cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA
+        self.perceptual = None
+        if "vggloss" in self.loss_name:
+            from dl_swin_gan_tpu.train.perceptual import PerceptualLoss
+            self.perceptual = PerceptualLoss()
         self._train_step = None
         self._val_step = None
 
@@ -107,7 +111,8 @@ class Trainer:
             scale = batch["scale"].reshape((-1,) + (1,) * (pred.ndim - 1))
             pred = pred * scale
             target = target * scale
-        return compute_metrics(pred, target, weight=self.loss_weight, tag=tag)
+        return compute_metrics(pred, target, weight=self.loss_weight, tag=tag,
+                               perceptual=self.perceptual)
 
     # -- jitted steps ---------------------------------------------------------
     def init_state(self, sample_batch: dict, seed: Optional[int] = None) -> TrainState:

@@ -36,23 +36,20 @@ def gcc_matrices(calib: np.ndarray, num_virtual: int,
 
 
 def apply_gcc(kspace: np.ndarray, mats: np.ndarray) -> np.ndarray:
-    """Compress multicoil k-space [..., nc, ny, nx(readout)] with per-x mats.
+    """Compress multicoil k-space [nc, nt, ny, nx(readout)] with per-x mats.
 
     kspace is transformed to hybrid space along readout, projected onto the
-    virtual-coil bases, and transformed back.
+    virtual-coil bases at each readout position, and transformed back.
     """
-    # -> hybrid x-space on the last axis
     hybrid = np.fft.ifft(np.fft.ifftshift(kspace, axes=-1), axis=-1,
                          norm="ortho")
     hybrid = np.fft.fftshift(hybrid, axes=-1)
-    nx = hybrid.shape[-1]
+    nc, nt, ny, nx = hybrid.shape
     nv = mats.shape[-1]
-    out_shape = hybrid.shape[:-3] + (nv,) + hybrid.shape[-2:]
-    out = np.zeros(out_shape, np.complex64)
+    out = np.zeros((nv, nt, ny, nx), np.complex64)
     for x in range(nx):
-        # [..., nc, ny] at this x -> project coils
-        sl = hybrid[..., x]                       # [..., nc, ny]
-        out[..., x] = np.einsum("...cy,cv->...vy", sl, mats[x].conj())
+        sl = hybrid[..., x].reshape(nc, -1)          # [nc, nt*ny]
+        out[..., x] = (mats[x].conj().T @ sl).reshape(nv, nt, ny)
     back = np.fft.ifftshift(out, axes=-1)
     back = np.fft.fft(back, axis=-1, norm="ortho")
     return np.fft.fftshift(back, axes=-1).astype(np.complex64)

@@ -1,0 +1,152 @@
+"""Infrastructure tests: config system (incl. loading the REFERENCE yaml
+files verbatim), CFL roundtrip, packing, coil compression, perceptual loss,
+folder naming, graft entry."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dl_swin_gan_tpu.config import CfgNode, get_cfg, load_cfg
+from dl_swin_gan_tpu.data import cfl
+from dl_swin_gan_tpu.train import packing
+from dl_swin_gan_tpu.utils import folder_to_parameter, parameter_to_folder
+
+REF_CONFIGS = "/root/reference/configs"
+
+
+def test_defaults_tree_keys():
+    cfg = get_cfg()
+    assert cfg.MODEL.PARAMETERS.NUM_UNROLLS == 5
+    assert cfg.AUG_TRAIN.UNDERSAMPLE.ACCELERATIONS == (10, 15)
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.MODEL.NAME = "x"
+    cfg.defrost()
+    cfg.MODEL.NAME = "x"
+
+
+@pytest.mark.parametrize("name", ["basic/example.yaml", "config_se.yaml",
+                                  "config_swin.yaml", "config_dit.yaml",
+                                  "config_latte.yaml"])
+def test_reference_configs_load_unchanged(name):
+    """The reference's own YAML files must merge cleanly (key compatibility)."""
+    path = os.path.join(REF_CONFIGS, name)
+    if not os.path.exists(path):
+        pytest.skip("reference unavailable")
+    cfg = load_cfg(path, require_output_dir=False, freeze=False)
+    assert isinstance(cfg.AUG_TRAIN.UNDERSAMPLE.ACCELERATIONS, tuple)
+    assert cfg.MODEL.PARAMETERS.NUM_UNROLLS >= 1
+    assert isinstance(cfg.DATASET.TRAIN, tuple)
+
+
+def test_our_configs_load():
+    for name in ["basic/example.yaml", "config_se.yaml", "config_swin.yaml",
+                 "config_dit.yaml", "config_latte.yaml", "config_dslr.yaml",
+                 "smoke.yaml"]:
+        cfg = load_cfg(os.path.join(os.path.dirname(__file__), "..",
+                                    "configs", name))
+        assert cfg.is_frozen()
+
+
+def test_merge_from_list_decodes_literals():
+    cfg = get_cfg()
+    cfg.merge_from_list(["AUG_TRAIN.UNDERSAMPLE.ACCELERATIONS", "(4,6)",
+                         "MODEL.PARAMETERS.NUM_UNROLLS", "3",
+                         "MODEL.MODEL_TYPE", "SE"])
+    assert cfg.AUG_TRAIN.UNDERSAMPLE.ACCELERATIONS == (4, 6)
+    assert cfg.MODEL.PARAMETERS.NUM_UNROLLS == 3
+    assert cfg.MODEL.MODEL_TYPE == "SE"
+
+
+def test_cfl_roundtrip(tmp_path, make_complex):
+    x = make_complex((6, 5, 4, 3))
+    base = str(tmp_path / "vol")
+    cfl.writecfl(base, x)
+    back = cfl.readcfl(base)
+    np.testing.assert_allclose(back, x)
+    # C-order convention too
+    cfl.write(base + "_c", x, order="C")
+    np.testing.assert_allclose(cfl.read(base + "_c", order="C"), x)
+
+
+def test_cfl_reference_compat(tmp_path, make_complex):
+    """Files written by the reference cfl.py must read back identically."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_cfl", "/root/reference/dl_cs/fileio/cfl.py")
+    if spec is None:
+        pytest.skip("reference unavailable")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    x = make_complex((4, 3, 2))
+    base = str(tmp_path / "refvol")
+    ref.writecfl(base, np.asarray(x))
+    np.testing.assert_allclose(cfl.readcfl(base), x)
+
+
+def test_packing_roundtrip(make_complex):
+    batch = {"a": make_complex((2, 3)), "b": np.ones((4,), np.float32),
+             "nested": {"c": make_complex((2,))}}
+    packed = packing.pack(batch)
+    unpacked = packing.unpack(jax.tree.map(jnp.asarray, packed))
+    np.testing.assert_allclose(np.asarray(unpacked["a"]), batch["a"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(unpacked["nested"]["c"]),
+                               batch["nested"]["c"], rtol=1e-6)
+    host = packing.unpack_np(packed)
+    np.testing.assert_allclose(host["a"], batch["a"])
+
+
+def test_coil_compression_preserves_signal():
+    """GCC to full coil count is (unitary) lossless; to fewer coils it keeps
+    most of the energy of smooth coil data."""
+    from dl_swin_gan_tpu.data.coilcomp import compress
+    rng = np.random.RandomState(0)
+    Y, X, C = 32, 24, 8
+    yy, xx = np.mgrid[0:Y, 0:X]
+    img = np.exp(-(((yy - 16) / 16) ** 2 + ((xx - 12) / 12) ** 2))
+    coils = np.stack([img * np.exp(-((yy - 4 * c) ** 2) / 400 + 1j * 0.1 * c)
+                      for c in range(C)])
+    ksp = np.fft.fftshift(np.fft.fft2(coils, norm="ortho"), axes=(-2, -1))
+    out_full = compress(ksp.astype(np.complex64), num_virtual=C)
+    e_in = float((np.abs(ksp) ** 2).sum())
+    e_full = float((np.abs(out_full) ** 2).sum())
+    assert np.isclose(e_full, e_in, rtol=1e-3)
+    out4 = compress(ksp.astype(np.complex64), num_virtual=4)
+    e4 = float((np.abs(out4) ** 2).sum())
+    assert e4 > 0.95 * e_in  # smooth coils compress well
+
+
+def test_perceptual_loss_grad(make_complex):
+    from dl_swin_gan_tpu.train.perceptual import PerceptualLoss
+    pl = PerceptualLoss()
+    ref = jnp.asarray(make_complex((1, 2, 2, 32, 24)))
+    pred = jnp.asarray(make_complex((1, 2, 2, 32, 24)))
+    assert float(pl(ref, ref)) < 1e-6
+    g = jax.grad(lambda p: pl(ref, p))(pred)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_folder_param_roundtrip():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "SE"
+    name = parameter_to_folder(cfg)
+    assert name == "train-3D_5steps_2SEblocks_256features_2emaps_0weight"
+    param = folder_to_parameter(name)
+    assert param["num_unrolls"] == 5
+    assert param["num_features"] == 256
+    cfg2 = get_cfg()
+    folder_to_parameter(name, write_config=True, config=cfg2)
+    assert cfg2.MODEL.MODEL_TYPE == "SE"
+
+
+def test_graft_entry_single_chip():
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(out))

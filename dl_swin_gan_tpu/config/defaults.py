@@ -67,6 +67,9 @@ def make_defaults() -> CN:
     _C.MODEL.PARAMETERS.CONV_BLOCK.NORM = "none"
     _C.MODEL.PARAMETERS.CONV_BLOCK.SEPARABLE = True
     _C.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = True
+    # MXU compute precision for conv layers: float32 | bfloat16
+    # (TPU addition: bf16 matmuls with fp32 accumulation ~2x v5e throughput)
+    _C.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = "float32"
 
     # loss
     _C.MODEL.RECON_LOSS = CN()

@@ -28,6 +28,8 @@ def build_denoiser(cfg, deterministic: bool = True):
     """
     p = cfg.MODEL.PARAMETERS
     model_type = cfg.MODEL.MODEL_TYPE.upper()
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if str(p.CONV_BLOCK.DTYPE) == "bfloat16" else jnp.float32
     common = dict(
         num_emaps=p.NUM_EMAPS,
         num_features=p.NUM_FEATURES,
@@ -35,6 +37,7 @@ def build_denoiser(cfg, deterministic: bool = True):
         use_complex_layers=p.CONV_BLOCK.COMPLEX,
         circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
         act_type=p.CONV_BLOCK.ACTIVATION,
+        dtype=dtype,
     )
     if model_type == "RES":
         return ResNet3D(num_resblocks=p.NUM_RESBLOCKS, **common)

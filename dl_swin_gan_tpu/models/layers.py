@@ -13,7 +13,7 @@ identical to the reference's two-conv expansion (resnet3d.py:92-106) but a
 single large MXU op instead of four small ones.
 """
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,10 +75,13 @@ class ComplexConv(nn.Module):
     Reference `ComplexConv3d` (`resnet3d.py:75-106`). Input/output are
     complex channels-last arrays; internally the real/imag features are
     concatenated and convolved with kernel [[X, Y], [-Y, X]] so the whole
-    complex product is a single MXU contraction.
+    complex product is a single MXU contraction. `dtype` selects the MXU
+    compute precision (bfloat16 doubles v5e throughput); params and
+    accumulation stay float32.
     """
     features: int
     kernel_size: Tuple[int, ...]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -97,10 +100,11 @@ class ComplexConv(nn.Module):
         xr = jnp.concatenate([x.real, x.imag], axis=-1)
         ndim = len(self.kernel_size)
         out = jax.lax.conv_general_dilated(
-            xr, kernel,
+            xr.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1,) * ndim,
             padding="SAME",
             dimension_numbers=nn.linear._conv_dimension_numbers(xr.shape),
+            preferred_element_type=jnp.float32,
         )
         out = out + jnp.concatenate([br, bi])
         return jax.lax.complex(out[..., :cout], out[..., cout:])
@@ -110,10 +114,13 @@ class Conv(nn.Module):
     """Real ND conv with SAME padding (reference `Conv3d`, resnet3d.py:58-72)."""
     features: int
     kernel_size: Tuple[int, ...]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.features, self.kernel_size, padding="SAME")(x)
+        out = nn.Conv(self.features, self.kernel_size, padding="SAME",
+                      dtype=self.dtype)(x)
+        return out.astype(jnp.float32)
 
 
 class ConvBlock(nn.Module):
@@ -126,13 +133,14 @@ class ConvBlock(nn.Module):
     act_type: str = "relu"
     norm_type: str = "none"
     is_complex: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = normalize(x, self.norm_type)
         x = activation(x, self.act_type)
         conv = ComplexConv if self.is_complex else Conv
-        return conv(self.features, self.kernel_size)(x)
+        return conv(self.features, self.kernel_size, dtype=self.dtype)(x)
 
 
 class ResBlock(nn.Module):

@@ -23,7 +23,7 @@ The module maps solver-layout complex images [N, E, T, Y, X] to themselves;
 internally it runs channels-last [N, T, Y, X, C].
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -80,14 +80,15 @@ class GatedResBlock(nn.Module):
     gate: str          # none | se | cbam
     reduction: int
     ndim: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         k = (self.kernel_size,) * self.ndim
         h = ConvBlock(self.features, k, self.act_type,
-                      is_complex=self.is_complex)(x)
+                      is_complex=self.is_complex, dtype=self.dtype)(x)
         h = ConvBlock(self.features, k, self.act_type,
-                      is_complex=self.is_complex)(h)
+                      is_complex=self.is_complex, dtype=self.dtype)(h)
         if self.gate in ("se", "cbam"):
             h = h * ChannelGate(self.reduction)(h)
         if self.gate == "cbam":
@@ -111,6 +112,7 @@ class GatedResNet3D(nn.Module):
     gate: str = "none"
     reduction: int = 16
     ndim: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -128,13 +130,13 @@ class GatedResNet3D(nn.Module):
         h = circular_pad_time(h, pad)
         resid = h
         h = ConvBlock(chans, k, act_type="none",
-                      is_complex=self.use_complex_layers)(h)
+                      is_complex=self.use_complex_layers, dtype=self.dtype)(h)
         for _ in range(self.num_resblocks):
             h = GatedResBlock(chans, self.kernel_size, self.act_type,
                               self.use_complex_layers, self.gate,
-                              self.reduction, self.ndim)(h)
+                              self.reduction, self.ndim, self.dtype)(h)
         h = ConvBlock(in_chans, k, act_type=self.act_type,
-                      is_complex=self.use_complex_layers)(h)
+                      is_complex=self.use_complex_layers, dtype=self.dtype)(h)
         h = h + resid
         h = crop_time(h, pad)
 

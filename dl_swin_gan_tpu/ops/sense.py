@@ -18,20 +18,16 @@ so solver code reads like the math.
 """
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from dl_swin_gan_tpu.ops.fft import fftc, ifftc
 
 
-def sense_forward(x: jnp.ndarray, maps: jnp.ndarray,
-                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Image -> masked multicoil k-space: y = W*F(sum_e maps_e * x_e).
-
-    Reference `_forward_op` (`transforms.py:92-98`): unsqueeze coil dim,
-    multiply by maps, sum over emaps, FFT, mask.
-    """
+def _forward_impl(x, maps, mask):
     # x: [B, E, T, Y, X] -> [B, E, 1, T, Y, X]; maps: [B, E, C, 1, Y, X]
     coil_ims = jnp.sum(x[:, :, None] * maps, axis=1)  # [B, C, T, Y, X]
     ksp = fftc(coil_ims, ndims=2)
@@ -40,12 +36,7 @@ def sense_forward(x: jnp.ndarray, maps: jnp.ndarray,
     return ksp
 
 
-def sense_adjoint(y: jnp.ndarray, maps: jnp.ndarray,
-                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Masked k-space -> image: x = sum_c conj(maps_c) * F^H(W*y).
-
-    Reference `_adjoint_op` (`transforms.py:84-90`).
-    """
+def _adjoint_impl(y, maps, mask):
     if mask is not None:
         y = y * mask
     coil_ims = ifftc(y, ndims=2)  # [B, C, T, Y, X]
@@ -53,10 +44,88 @@ def sense_adjoint(y: jnp.ndarray, maps: jnp.ndarray,
     return jnp.sum(coil_ims[:, None] * jnp.conj(maps), axis=2)
 
 
+# ---------------------------------------------------------------------------
+# Custom VJPs: XLA's auto-derived transpose of the FFT/broadcast chains is
+# ~20x slower than the forward on TPU (measured on v5e). All three SENSE ops
+# are linear in their data argument, so the JAX (holomorphic) VJP is just
+#     vjp_f(g) = f_adjoint-in-the-transpose-sense(g) = conj(f^H(conj(g)))
+# which reuses the same fused forward code path. maps/mask are acquisition
+# data — their cotangents are structurally zero in every training loss here.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def sense_forward(x: jnp.ndarray, maps: jnp.ndarray,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Image -> masked multicoil k-space: y = W*F(sum_e maps_e * x_e).
+
+    Reference `_forward_op` (`transforms.py:92-98`): unsqueeze coil dim,
+    multiply by maps, sum over emaps, FFT, mask.
+    """
+    return _forward_impl(x, maps, mask)
+
+
+def _forward_fwd(x, maps, mask):
+    return _forward_impl(x, maps, mask), (maps, mask)
+
+
+def _forward_bwd(res, g):
+    maps, mask = res
+    xbar = jnp.conj(_adjoint_impl(jnp.conj(g), maps, mask))
+    return xbar, jnp.zeros_like(maps), (None if mask is None
+                                        else jnp.zeros_like(mask))
+
+
+sense_forward.defvjp(_forward_fwd, _forward_bwd)
+
+
+@jax.custom_vjp
+def sense_adjoint(y: jnp.ndarray, maps: jnp.ndarray,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Masked k-space -> image: x = sum_c conj(maps_c) * F^H(W*y).
+
+    Reference `_adjoint_op` (`transforms.py:84-90`).
+    """
+    return _adjoint_impl(y, maps, mask)
+
+
+def _adjoint_fwd(y, maps, mask):
+    return _adjoint_impl(y, maps, mask), (maps, mask)
+
+
+def _adjoint_bwd(res, g):
+    maps, mask = res
+    ybar = jnp.conj(_forward_impl(jnp.conj(g), maps, mask))
+    return ybar, jnp.zeros_like(maps), (None if mask is None
+                                        else jnp.zeros_like(mask))
+
+
+sense_adjoint.defvjp(_adjoint_fwd, _adjoint_bwd)
+
+
+@jax.custom_vjp
 def sense_normal(x: jnp.ndarray, maps: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Normal operator A^H A x (the CG hot loop; fusion target for Pallas)."""
-    return sense_adjoint(sense_forward(x, maps, mask), maps, mask)
+    """Normal operator A^H A x (the CG hot loop).
+
+    Self-adjoint, so its transpose is conj(N(conj(g))) — one extra normal-op
+    application instead of XLA's slow auto-transposed chain.
+    """
+    return _adjoint_impl(_forward_impl(x, maps, mask), maps, mask)
+
+
+def _normal_fwd(x, maps, mask):
+    return sense_normal(x, maps, mask), (maps, mask)
+
+
+def _normal_bwd(res, g):
+    maps, mask = res
+    gc = jnp.conj(g)
+    xbar = jnp.conj(_adjoint_impl(_forward_impl(gc, maps, mask), maps, mask))
+    return xbar, jnp.zeros_like(maps), (None if mask is None
+                                        else jnp.zeros_like(mask))
+
+
+sense_normal.defvjp(_normal_fwd, _normal_bwd)
 
 
 @dataclass(frozen=True)

@@ -145,19 +145,17 @@ class WindowAttention3D(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
         qkv = qkv.reshape(Bn, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         bias = bias_table[rel_index.reshape(-1)].reshape(N, N, h)
-        attn = attn + bias.transpose(2, 0, 1)[None]
+        bias = bias.transpose(2, 0, 1)  # [h, N, N]
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None]
-            attn = attn.reshape(Bn, h, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # fused Pallas kernel on TPU (XLA einsum fallback elsewhere) — one
+        # (window, head) per grid step, softmax in VMEM, flash-style
+        # recompute in the backward (kernels/window_attn.py)
+        from dl_swin_gan_tpu.kernels import window_attention
+        out = window_attention(q, k, v, bias, mask)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
         return nn.Dense(C, name="proj")(out)
 

@@ -73,8 +73,18 @@ class VDktMaskFunc(MaskFunc):
 
     def __call__(self, out_shape, seed=None) -> np.ndarray:
         """out_shape is [1, 1, phases, ky, kx] (3D mode); returns float32 mask."""
-        self.rng.seed(seed)
         nkx, nky, nphases = out_shape[4], out_shape[3], out_shape[2]
+
+        # native C path (bit-exact MT19937 twin; ~20x faster per example);
+        # falls back to the Python path below if unavailable
+        from dl_swin_gan_tpu.ops.native import vdkt_mask_native
+        native = vdkt_mask_native(nkx, nky, nphases, self.accelerations,
+                                  self.sim_partial_kx, self.sim_partial_ky,
+                                  seed)
+        if native is not None:
+            return native.reshape(out_shape)
+
+        self.rng.seed(seed)
         accel = self.choose_acceleration()
 
         if self.sim_partial_ky > 0.0:

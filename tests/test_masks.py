@@ -123,3 +123,29 @@ def test_vdkt_partial_ky_bit_exact_vs_reference():
     ours = VDktMaskFunc([10, 15], sim_partial_ky=0.25)(shape, seed=5)
     theirs = ref.VDktMaskFunc([10, 15], sim_partial_ky=0.25)(shape, seed=5).numpy()
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_native_vdkt_bit_exact_vs_python():
+    """The C implementation (MT19937 twin) must match the Python path bit for
+    bit on every seed type, including the partial-ky binary search."""
+    import dl_swin_gan_tpu.ops.native as N
+    import os
+    if N.get_vdkt_lib() is None:
+        pytest.skip("native lib unavailable")
+
+    cases = [
+        ((1, 1, 18, 80, 64), 0.25, 0.0, 1000),
+        ((1, 1, 18, 80, 64), 0.25, 0.0, tuple(map(ord, "patient_003.h5"))),
+        ((1, 1, 12, 80, 32), 0.25, 0.25, 5),
+    ]
+    for shape, pkx, pky, seed in cases:
+        f = VDktMaskFunc([10, 15], sim_partial_kx=pkx, sim_partial_ky=pky)
+        # force python path
+        os.environ["DL_SWIN_GAN_NO_NATIVE"] = "1"
+        N._TRIED, N._LIB = True, None
+        py = f(shape, seed=seed)
+        os.environ.pop("DL_SWIN_GAN_NO_NATIVE")
+        N._TRIED, N._LIB = False, None
+        nat = N.vdkt_mask_native(shape[4], shape[3], shape[2], [10, 15],
+                                 pkx, pky, seed)
+        np.testing.assert_array_equal(py.reshape(nat.shape), nat)

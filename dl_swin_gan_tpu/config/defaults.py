@@ -71,6 +71,14 @@ def make_defaults() -> CN:
     # (TPU addition: bf16 matmuls with fp32 accumulation ~2x v5e throughput)
     _C.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = "float32"
 
+    # ----- adversarial extension (the repo's namesake; the reference's
+    # run_script.sh dispatches SWINGAN but never shipped the trainer)
+    _C.MODEL.GAN = CN()
+    _C.MODEL.GAN.ADV_WEIGHT = 0.01
+    _C.MODEL.GAN.DISC_FEATURES = 64
+    _C.MODEL.GAN.DISC_LAYERS = 3
+    _C.MODEL.GAN.DISC_LR = 0.0002
+
     # loss
     _C.MODEL.RECON_LOSS = CN()
     _C.MODEL.RECON_LOSS.NAME = "complex_l1"

@@ -24,6 +24,7 @@ case "$model_type" in
   DIT)   config="$repo/configs/config_dit.yaml";    trainer="train_DiT.py" ;;
   Latte) config="$repo/configs/config_latte.yaml";  trainer="train_Latte.py" ;;
   DSLR)  config="$repo/configs/config_dslr.yaml";   trainer="train_lr.py" ;;
+  SWINGAN) config="$repo/configs/config_swingan.yaml"; trainer="train_swin_gan.py" ;;
   *) echo "unknown model type: $model_type" >&2; exit 1 ;;
 esac
 

@@ -213,12 +213,29 @@ class Trainer:
         img_every = cfg.LOGGER.LOG_IMAGES_EVERY_N_STEPS
         t_start, steps_done = time.perf_counter(), 0
 
+        # jax.profiler trace (reference: Lightning AdvancedProfiler,
+        # train_DiT.py:500) — enabled via env DL_SWIN_GAN_PROFILE=<dir>
+        profile_dir = os.environ.get("DL_SWIN_GAN_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+            logger.info("jax profiler tracing to %s", profile_dir)
+
         for epoch in range(max_epochs):
             for batch in train_loader:
                 packed = shard_batch(packing.pack(batch), self.mesh)
                 state, metrics = self._train_step(state, packed)
                 steps_done += 1
                 step = int(state.step)
+                if profile_dir and steps_done == 10:
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s", profile_dir)
+                    profile_dir = None
+                if img_every and step % img_every == 0 and self._val_step:
+                    # qualitative magnitude strip (reference train.py:73-101)
+                    _, vis = self._val_step(state.params, packed)
+                    frames = np.asarray(vis)[0]
+                    writer.image(step, "Train/magnitude",
+                                 np.concatenate(list(frames[:8]), axis=1))
                 if step % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.perf_counter() - t_start

@@ -65,7 +65,11 @@ def make_defaults() -> CN:
     _C.MODEL.PARAMETERS.CONV_BLOCK.CIRCULAR_PAD = True
     _C.MODEL.PARAMETERS.CONV_BLOCK.ACTIVATION = "relu"
     _C.MODEL.PARAMETERS.CONV_BLOCK.NORM = "none"
-    _C.MODEL.PARAMETERS.CONV_BLOCK.SEPARABLE = True
+    # the reference config defaults SEPARABLE True but its code never wires
+    # SeparableConv3d in (resnet3d.py:109-160) — effective behavior is full
+    # 3D convs everywhere, so the working default here is False; setting
+    # True activates the (2+1)D path as originally intended
+    _C.MODEL.PARAMETERS.CONV_BLOCK.SEPARABLE = False
     _C.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = True
     # MXU compute precision for conv layers: float32 | bfloat16
     # (TPU addition: bf16 matmuls with fp32 accumulation ~2x v5e throughput)

@@ -39,14 +39,17 @@ def build_denoiser(cfg, deterministic: bool = True):
         act_type=p.CONV_BLOCK.ACTIVATION,
         dtype=dtype,
     )
+    sep = dict(separable=p.CONV_BLOCK.SEPARABLE)
     if model_type == "RES":
-        return ResNet3D(num_resblocks=p.NUM_RESBLOCKS, **common)
+        return ResNet3D(num_resblocks=p.NUM_RESBLOCKS, **common, **sep)
     if model_type == "SE":
         from dl_swin_gan_tpu.models.se import SEResNet3D
-        return SEResNet3D(num_resblocks=p.NUM_RESBLOCKS, reduction=p.RR, **common)
+        return SEResNet3D(num_resblocks=p.NUM_RESBLOCKS, reduction=p.RR,
+                          **common, **sep)
     if model_type == "CBAM":
         from dl_swin_gan_tpu.models.cbam import CBAMResNet3D
-        return CBAMResNet3D(num_resblocks=p.NUM_RESBLOCKS, reduction=p.RR, **common)
+        return CBAMResNet3D(num_resblocks=p.NUM_RESBLOCKS, reduction=p.RR,
+                            **common, **sep)
     if model_type == "SWIN":
         from dl_swin_gan_tpu.models.swin import SwinNet3D
         return SwinNet3D(
@@ -62,6 +65,16 @@ def build_denoiser(cfg, deterministic: bool = True):
             depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
             patch_size=tuple(p.PATCH_SIZE), learn_sigma=p.LEARN_SIGMA,
             num_blocks=p.NUM_RESBLOCKS, circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
+            deterministic=deterministic,
+        )
+    if model_type == "SWIN_DIFF":
+        from dl_swin_gan_tpu.models.swin_diff import SwinDiffNet
+        return SwinDiffNet(
+            num_swinblocks=p.NUM_SWINBLOCKS, num_emaps=p.NUM_EMAPS,
+            hidden_size=p.NUM_FEATURES, depths=(p.NUM_LAYERS,),
+            num_heads=(p.NUM_HEADS,), window_size=(7, 8, 8),
+            num_blocks=p.NUM_RESBLOCKS, learn_sigma=p.LEARN_SIGMA,
+            circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
             deterministic=deterministic,
         )
     if model_type == "LATTE":

@@ -400,3 +400,14 @@ class DiTResNet(nn.Module):
         else:
             comp = jax.lax.complex(parts[0], parts[1])
         return to_solver_layout(comp)
+
+
+# ---------------------------------------------------------------- presets
+# Size presets mirroring reference DiT.py:796-841.
+
+def DiT_XL(**kw): return DiT(depth=28, hidden_size=1152, num_heads=16, **kw)
+def DiT_L(**kw):  return DiT(depth=24, hidden_size=1024, num_heads=16, **kw)
+def DiT_B(**kw):  return DiT(depth=12, hidden_size=768, num_heads=12, **kw)
+def DiT_S(**kw):  return DiT(depth=12, hidden_size=384, num_heads=6, **kw)
+
+DiT_models = {"DiT-XL": DiT_XL, "DiT-L": DiT_L, "DiT-B": DiT_B, "DiT-S": DiT_S}

@@ -194,3 +194,15 @@ class LatteNet(nn.Module):
         else:
             comp = jax.lax.complex(parts[0], parts[1])
         return to_solver_layout(comp)
+
+
+# ---------------------------------------------------------------- presets
+# Size presets mirroring reference Latte.py:647-682.
+
+def Latte_XL(**kw): return Latte(depth=28, hidden_size=1152, num_heads=16, **kw)
+def Latte_L(**kw):  return Latte(depth=24, hidden_size=1024, num_heads=16, **kw)
+def Latte_B(**kw):  return Latte(depth=12, hidden_size=768, num_heads=12, **kw)
+def Latte_S(**kw):  return Latte(depth=12, hidden_size=384, num_heads=6, **kw)
+
+Latte_models = {"Latte-XL": Latte_XL, "Latte-L": Latte_L,
+                "Latte-B": Latte_B, "Latte-S": Latte_S}

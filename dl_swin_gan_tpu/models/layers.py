@@ -123,6 +123,32 @@ class Conv(nn.Module):
         return out.astype(jnp.float32)
 
 
+class SeparableConv(nn.Module):
+    """(2+1)D separable 3D conv: spatial (1,k,k) -> act -> temporal (k,1,1).
+
+    Reference `SeparableConv3d` (resnet3d.py:109-160) — defined upstream and
+    exposed through CONV_BLOCK.SEPARABLE, but never wired into the reference
+    ResNet; here it is wired (ConvBlock dispatches on `separable`). The
+    spatial channel count keeps total parameters equal to a full k^3 conv
+    (resnet3d.py:131-136).
+    """
+    features: int
+    kernel_size: Tuple[int, ...]
+    act_type: str = "relu"
+    is_complex: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size[0]
+        cin, cout = x.shape[-1], self.features
+        sp = int((k ** 3) * cin * cout / ((k ** 2) * cin + k * cout))
+        conv = ComplexConv if self.is_complex else Conv
+        h = conv(sp, (1, k, k), dtype=self.dtype)(x)
+        h = activation(h, self.act_type)
+        return conv(cout, (k, 1, 1), dtype=self.dtype)(h)
+
+
 class ConvBlock(nn.Module):
     """Pre-activation block: Norm -> Act -> Conv (He et al., arXiv:1603.05027).
 
@@ -134,11 +160,16 @@ class ConvBlock(nn.Module):
     norm_type: str = "none"
     is_complex: bool = False
     dtype: Any = jnp.float32
+    separable: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = normalize(x, self.norm_type)
         x = activation(x, self.act_type)
+        if self.separable and len(self.kernel_size) == 3:
+            return SeparableConv(self.features, self.kernel_size,
+                                 self.act_type, self.is_complex,
+                                 self.dtype)(x)
         conv = ComplexConv if self.is_complex else Conv
         return conv(self.features, self.kernel_size, dtype=self.dtype)(x)
 

@@ -81,14 +81,17 @@ class GatedResBlock(nn.Module):
     reduction: int
     ndim: int = 3
     dtype: Any = jnp.float32
+    separable: bool = False
 
     @nn.compact
     def __call__(self, x):
         k = (self.kernel_size,) * self.ndim
         h = ConvBlock(self.features, k, self.act_type,
-                      is_complex=self.is_complex, dtype=self.dtype)(x)
+                      is_complex=self.is_complex, dtype=self.dtype,
+                      separable=self.separable)(x)
         h = ConvBlock(self.features, k, self.act_type,
-                      is_complex=self.is_complex, dtype=self.dtype)(h)
+                      is_complex=self.is_complex, dtype=self.dtype,
+                      separable=self.separable)(h)
         if self.gate in ("se", "cbam"):
             h = h * ChannelGate(self.reduction)(h)
         if self.gate == "cbam":
@@ -113,6 +116,7 @@ class GatedResNet3D(nn.Module):
     reduction: int = 16
     ndim: int = 3
     dtype: Any = jnp.float32
+    separable: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -129,14 +133,17 @@ class GatedResNet3D(nn.Module):
 
         h = circular_pad_time(h, pad)
         resid = h
+        sep = self.separable and self.ndim == 3
         h = ConvBlock(chans, k, act_type="none",
-                      is_complex=self.use_complex_layers, dtype=self.dtype)(h)
+                      is_complex=self.use_complex_layers, dtype=self.dtype,
+                      separable=sep)(h)
         for _ in range(self.num_resblocks):
             h = GatedResBlock(chans, self.kernel_size, self.act_type,
                               self.use_complex_layers, self.gate,
-                              self.reduction, self.ndim, self.dtype)(h)
+                              self.reduction, self.ndim, self.dtype, sep)(h)
         h = ConvBlock(in_chans, k, act_type=self.act_type,
-                      is_complex=self.use_complex_layers, dtype=self.dtype)(h)
+                      is_complex=self.use_complex_layers, dtype=self.dtype,
+                      separable=sep)(h)
         h = h + resid
         h = crop_time(h, pad)
 

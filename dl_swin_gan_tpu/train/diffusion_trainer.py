@@ -254,6 +254,7 @@ class DiffusionTrainer:
             logger.info("resumed from step %d", int(state.step))
 
         log_every = cfg.LOGGER.LOG_METRICS_EVERY_N_STEPS
+        pred_every = cfg.LOGGER.LOG_PREDICTION_EVERY_N_STEPS
         t0, n0 = time.perf_counter(), 0
         for epoch in range(max_epochs):
             for batch in train_loader:
@@ -262,6 +263,13 @@ class DiffusionTrainer:
                 state, metrics = self._train_step(state, packed)
                 n0 += 1
                 step = int(state.step)
+                if pred_every and step % pred_every == 0:
+                    # periodic conditional hard-DC sampling from the EMA
+                    # model (train_DiT.py:283-291; Latte samples from EMA)
+                    gen = self.sample(state.ema_params, batch, seed=step)
+                    mag = np.abs(gen["pred"] if isinstance(gen, dict) else gen)
+                    strip = np.concatenate(list(mag[0, 0][:8]), axis=1)
+                    writer.image(step, "Train/sampled_magnitude", strip)
                 if step % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     m["Train/steps_per_sec"] = n0 / (time.perf_counter() - t0)

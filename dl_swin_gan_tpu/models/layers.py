@@ -187,7 +187,9 @@ class ResBlock(nn.Module):
                       is_complex=self.is_complex)(x)
         h = ConvBlock(self.features, self.kernel_size, self.act_type,
                       is_complex=self.is_complex)(h)
-        return h + x
+        # inplace-ReLU residual quirk: see GatedResBlock in resnet.py
+        resid = x if self.is_complex else activation(x, self.act_type)
+        return h + resid
 
 
 def circular_pad_time(x: jnp.ndarray, pad: int) -> jnp.ndarray:

@@ -96,7 +96,14 @@ class GatedResBlock(nn.Module):
             h = h * ChannelGate(self.reduction)(h)
         if self.gate == "cbam":
             h = h * SpatialGate(self.is_complex, self.ndim)(h)
-        return h + x
+        # reference quirk: nn.ReLU(inplace=True) inside the pre-activation
+        # ConvBlock MUTATES the block input before the skip add, so the
+        # real-conv path residual is act(x), not x (resnet3d.py:45 + :240).
+        # The complex path is unaffected because Activation splits re/im
+        # into fresh tensors (resnet3d.py:52-53). Verified by weight-level
+        # forward parity (tests/test_forward_parity.py).
+        resid = x if self.is_complex else activation(x, self.act_type)
+        return h + resid
 
 
 class GatedResNet3D(nn.Module):

@@ -121,3 +121,53 @@ def test_se_resnet_forward_matches_reference(make_complex):
         ref_out = ref(torch.from_numpy(x)).numpy()
     out = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_cbam_resnet_forward_matches_reference(make_complex):
+    """CBAM: channel gate (avg-only) then spatial gate (k=5 conv, no sigmoid).
+
+    DiT/Latte/Swin reference modules import timm (not in this image), so
+    CBAM is the last reference backbone loadable for golden comparison."""
+    ref_mod = _load_ref("CBAM")
+    if ref_mod is None:
+        pytest.skip("reference/torch unavailable")
+    import torch
+
+    from dl_swin_gan_tpu.models.cbam import CBAMResNet3D
+
+    E, T, Y, X = 2, 6, 12, 10
+    torch.manual_seed(2)
+    ref = ref_mod.CBAMResNet(num_resblocks=1, in_chans=2 * E, chans=16, rr=4,
+                             kernel_size=3, use_complex_layers=False,
+                             circular_pad=True).eval()
+
+    net = CBAMResNet3D(num_resblocks=1, num_features=16, kernel_size=3,
+                       reduction=4, use_complex_layers=False,
+                       circular_pad=True)
+    x = make_complex((1, E, T, Y, X))
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    _map_convblock(ref.init_layer, params["ConvBlock_0"], False)
+    blk = params["GatedResBlock_0"]
+    crb = ref.se_res_blocks[0]
+    _map_convblock(crb.layers1[0], blk["ConvBlock_0"], False)
+    _map_convblock(crb.layers1[1], blk["ConvBlock_1"], False)
+    # channel attention: FC(rr) -> relu -> FC(C) -> sigmoid (avg-pool path)
+    ca = crb.CAmodule[0].layers  # Sequential(FC1, act, FC2, act)
+    gate = blk["ChannelGate_0"]
+    gate["Dense_0"]["kernel"] = jnp.asarray(ca[0].fc.weight.detach().numpy().T)
+    gate["Dense_0"]["bias"] = jnp.asarray(ca[0].fc.bias.detach().numpy())
+    gate["Dense_1"]["kernel"] = jnp.asarray(ca[2].fc.weight.detach().numpy().T)
+    gate["Dense_1"]["bias"] = jnp.asarray(ca[2].fc.bias.detach().numpy())
+    # spatial attention: channel-mean -> k=5 conv (1 -> 1 channels)
+    sa = crb.SAmodule[0].layers[0]  # Conv3d wrapper
+    sg = blk["SpatialGate_0"]
+    sg["Conv_0"]["Conv_0"]["kernel"] = _t2f_conv(sa.conv.weight)
+    sg["Conv_0"]["Conv_0"]["bias"] = jnp.asarray(sa.conv.bias.detach().numpy())
+    _map_convblock(ref.final_layer, params["ConvBlock_1"], False)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    out = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)

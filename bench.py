@@ -17,6 +17,78 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_IT_S = 1.0  # reference nohup.out: "Epoch 1: ... 1.00it/s"
+# reference validation/inference throughput: 2.85 it/s over cine slices of
+# ~20 frames (nohup.out "Validating: ... 2.85it/s") -> ~57 frames/s
+BASELINE_RECON_FPS = 2.85 * 20
+
+
+def bench_recon():
+    """Reconstruction throughput in frames/sec (BASELINE.md north star:
+    >=5x the reference's single-GPU recon throughput)."""
+    import jax
+    import numpy as np
+
+    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.data.preprocess import CinePreprocess
+    from dl_swin_gan_tpu.data.synthetic import make_cine_example
+    from dl_swin_gan_tpu.models import build_denoiser
+    from dl_swin_gan_tpu.solvers import build_solver
+    from dl_swin_gan_tpu.train import packing
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "RES"
+    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
+    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
+    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
+    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
+    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
+    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg.OUTPUT_DIR = "/tmp/bench"
+
+    T, Y, X, C, E = 20, 180, 64, 8, 2
+    B = int(os.environ.get("BENCH_BATCH", "4"))
+    pre = CinePreprocess(cfg, use_seed=True)
+    exs = []
+    for b in range(B):
+        k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=b)
+        exs.append(pre(k, m, t, f"bench_{b}"))
+    batch = packing.pack({key: np.stack([e[key] for e in exs])
+                          for key in exs[0]})
+
+    model = build_solver(cfg, lambda: build_denoiser(cfg))
+    params = jax.jit(lambda p_: model.init(
+        jax.random.PRNGKey(0), packing.unpack(p_)["kspace"],
+        packing.unpack(p_)["maps"], packing.unpack(p_)["mask"],
+        x0=packing.unpack(p_)["init_image"])["params"])(batch)
+
+    @jax.jit
+    def recon(params, packed):
+        b = packing.unpack(packed)
+        pred = model.apply({"params": params}, b["kspace"], b["maps"],
+                           b["mask"], x0=b["init_image"])
+        return packing.pack_jnp(pred)
+
+    def sync(t):
+        np.asarray(jax.tree.leaves(t)[0].ravel()[0])
+
+    out = recon(params, batch)
+    sync(out)
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    best = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = recon(params, batch)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+
+    fps = iters * B * T / best
+    print(json.dumps({
+        "metric": "unrolled_resnet_recon_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_RECON_FPS, 2),
+    }))
 
 
 def main():
@@ -114,4 +186,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_WORKLOAD") == "recon":
+        bench_recon()
+    else:
+        main()

@@ -176,3 +176,43 @@ def test_learned_sigma_split(make_complex):
                                         jnp.array([5]))
     assert "vb" in terms
     assert np.isfinite(float(terms["loss"].mean()))
+
+
+def test_diffusion_unrolled_learn_sigma(make_complex):
+    """learn_sigma gives the FINAL unroll a 2x-channel output
+    (unrolledDiT.py:61-83)."""
+    from dl_swin_gan_tpu.models.dit import DiTResNet
+    from dl_swin_gan_tpu.solvers.diffusion_unrolled import DiffusionUnrolled
+
+    maps, target, mask = _sense_problem(make_complex)
+    kspace_kwargs = dict(A=SenseOp(maps, mask), A_1=SenseOp(maps, 1 - mask),
+                         A_F=SenseOp(maps, None), fs=target,
+                         c=jnp.ones((1,), jnp.int32))
+
+    def make(learn_sigma):
+        return DiTResNet(num_emaps=2, hidden_size=24, depth=1, num_heads=2,
+                         num_blocks=0, learn_sigma=learn_sigma)
+
+    solver = DiffusionUnrolled(make_denoiser=make, num_unrolls=2,
+                               dc_mode="none", learn_sigma=True)
+    t = jnp.array([3])
+    variables = solver.init(jax.random.PRNGKey(0), target, t, **kspace_kwargs)
+    out = solver.apply(variables, target, t, **kspace_kwargs)
+    assert out.shape[1] == 2 * target.shape[1]  # mean + var channels
+
+
+def test_dit_cfg_forward(make_complex):
+    from dl_swin_gan_tpu.models.dit import DiT
+
+    net = DiT(in_channels=8, hidden_size=24, depth=1, num_heads=2,
+              patch_size=(2, 2, 2))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 4, 8, 8, 8).astype(np.float32))
+    t = jnp.array([3, 3])
+    y = jnp.array([0, 1])
+    variables = net.init(jax.random.PRNGKey(0), x, t, y)
+    out = net.forward_with_cfg(variables, x, t, y, cfg_scale=2.0)
+    assert out.shape == x.shape
+    # the two halves of the guided eps must be identical
+    np.testing.assert_allclose(np.asarray(out[0, ..., :8]),
+                               np.asarray(out[1, ..., :8]), rtol=1e-5)

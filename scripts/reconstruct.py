@@ -26,12 +26,16 @@ def main(argv=None):
     parser.add_argument("--maps", required=True, help="ESPIRiT maps CFL (no ext)")
     parser.add_argument("--output", required=True, help="output image CFL (no ext)")
     parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
     args = parser.parse_args(argv)
 
     from dl_swin_gan_tpu.config import load_cfg
     from dl_swin_gan_tpu.infer import load_checkpoint_params, reconstruct_cfl
 
-    cfg = load_cfg(args.config_file)
+    cfg = load_cfg(args.config_file, freeze=False)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
     params = load_checkpoint_params(args.ckpt)
     out = reconstruct_cfl(args.kspace, args.maps, args.output, cfg, params,
                           batch_size=args.batch_size)

@@ -29,6 +29,7 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--model", default=None,
                         help="override MODEL.MODEL_TYPE (RES/SE/CBAM/SWIN)")
+    parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
     args = parser.parse_args(argv)
 
     from dl_swin_gan_tpu.config import load_cfg
@@ -37,6 +38,8 @@ def main(argv=None):
     cfg = load_cfg(args.config_file, freeze=False)
     if args.model:
         cfg.MODEL.MODEL_TYPE = args.model
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     cfg.freeze()
 
     params = (load_checkpoint_params(args.ckpt)

@@ -26,6 +26,7 @@ def main(argv=None):
     parser.add_argument("--file", required=True)
     parser.add_argument("--out-directory", required=True)
     parser.add_argument("--acceleration", type=float, default=12)
+    parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
     args = parser.parse_args(argv)
 
     import h5py
@@ -39,7 +40,10 @@ def main(argv=None):
     from dl_swin_gan_tpu.solvers.dslr import build_dslr_solver
     from dl_swin_gan_tpu.train import packing
 
-    cfg = load_cfg(args.config_file)
+    cfg = load_cfg(args.config_file, freeze=False)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
     params = load_checkpoint_params(args.ckpt)
     model = build_dslr_solver(cfg)
     p = cfg.MODEL.PARAMETERS

@@ -79,8 +79,12 @@ class DiffusionTrainer:
                  sample_steps: int = 100):
         self.cfg = cfg
         self.ema_decay = ema_decay
+        fsdp_axis = cfg.PARALLEL.FSDP_AXIS
+        if str(cfg.MODEL.STRATEGY).lower() == "fsdp" and fsdp_axis == 1:
+            import jax as _jax
+            fsdp_axis = max(1, len(_jax.devices()) // max(1, cfg.PARALLEL.DATA_AXIS))
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=cfg.PARALLEL.DATA_AXIS, fsdp=cfg.PARALLEL.FSDP_AXIS)
+            data=cfg.PARALLEL.DATA_AXIS, fsdp=fsdp_axis)
         self.meta = cfg.MODEL.META_ARCHITECTURE.lower()
         p = cfg.MODEL.PARAMETERS
         self.model = build_diffusion_solver(

@@ -75,8 +75,14 @@ class Trainer:
         self.cfg = cfg
         self.use_ema = use_ema
         self.ema_decay = ema_decay
+        fsdp_axis = cfg.PARALLEL.FSDP_AXIS
+        if str(cfg.MODEL.STRATEGY).lower() == "fsdp" and fsdp_axis == 1:
+            # STRATEGY fsdp (the DeepSpeed-ZeRO-3 replacement) defaults to
+            # sharding parameters across every available chip
+            import jax as _jax
+            fsdp_axis = max(1, len(_jax.devices()) // max(1, cfg.PARALLEL.DATA_AXIS))
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=cfg.PARALLEL.DATA_AXIS, fsdp=cfg.PARALLEL.FSDP_AXIS)
+            data=cfg.PARALLEL.DATA_AXIS, fsdp=fsdp_axis)
         self._build_models(cfg)
         self.tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch_hint)
         self.loss_name = cfg.MODEL.RECON_LOSS.NAME

@@ -201,3 +201,41 @@ def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if _use_pallas():
         return _window_attention_pallas(q, k, v, bias, mask)
     return _attention_xla(q, k, v, bias, mask)
+
+
+def window_attention_sharded(q, k, v, bias, mask, mesh, axis: str = "data"):
+    """Context-parallel window attention: shard the (B*nW) window axis over a
+    mesh axis with shard_map. Windows attend independently (SURVEY §5.7:
+    "window attention needs no halo exchange beyond the shift", which happens
+    outside this op), so no collectives are needed inside — each chip runs
+    the fused kernel on its shard of windows.
+
+    Use for single-volume inference whose window count exceeds one chip's
+    appetite; requires W % mesh.shape[axis] == 0.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    W = q.shape[0]
+    n = mesh.shape[axis]
+    assert W % n == 0, f"window count {W} not divisible by {axis}={n}"
+
+    if mask is None:
+        def body(ql, kl, vl, bl):
+            return window_attention(ql, kl, vl, bl, None)
+        return shard_map(body, mesh=mesh,
+                         in_specs=(P(axis), P(axis), P(axis), P()),
+                         out_specs=P(axis))(q, k, v, bias)
+
+    # with a shift mask: expand the nW-periodic mask to one entry per window
+    # and shard it alongside q/k/v, so each chip indexes locally
+    nW = mask.shape[0]
+    reps = W // nW
+    mask_full = jnp.tile(mask, (reps, 1, 1))
+
+    def body(ql, kl, vl, bl, ml):
+        return window_attention(ql, kl, vl, bl, ml)
+
+    return shard_map(body, mesh=mesh,
+                     in_specs=(P(axis), P(axis), P(axis), P(), P(axis)),
+                     out_specs=P(axis))(q, k, v, bias, mask_full)

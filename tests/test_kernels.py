@@ -61,3 +61,18 @@ def test_mask_window_indexing():
     out = WA._pallas_attention(q, k, v, bias, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_window_attention_sharded_matches_unsharded():
+    """shard_map window-parallel attention == single-device result."""
+    from dl_swin_gan_tpu.kernels.window_attn import (
+        _attention_xla, window_attention_sharded)
+    from dl_swin_gan_tpu.parallel.mesh import make_mesh
+
+    q, k, v, bias, mask = _data(W=24, nW=3)
+    mesh = make_mesh(data=8, fsdp=1)
+    for m in (mask, None):
+        ref = _attention_xla(q, k, v, bias, m)
+        out = window_attention_sharded(q, k, v, bias, m, mesh, axis="data")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

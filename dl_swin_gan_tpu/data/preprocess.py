@@ -14,8 +14,6 @@ order are kept identical for seeded parity:
   6. optional locally-low-rank decomposition for DSLR (166-168)
 """
 
-from typing import Optional
-
 import numpy as np
 
 from dl_swin_gan_tpu.data import host_ops as H

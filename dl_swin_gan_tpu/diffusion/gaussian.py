@@ -22,7 +22,7 @@ one compiled program for the whole 100/1000-step chain.
 
 import enum
 import math
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import numpy as np
 import jax

@@ -9,8 +9,6 @@ TPU-native counterpart of:
     (re-undersample fully-sampled H5 at a fixed acceleration, seed 1000)
 """
 
-from typing import Optional
-
 import numpy as np
 
 from dl_swin_gan_tpu.data import host_ops as H

@@ -8,8 +8,6 @@ conv net on magnitude frames. This is that discriminator: a spectral-ish
 (strided, leaky-ReLU) 3D conv stack producing patch logits.
 """
 
-from typing import Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

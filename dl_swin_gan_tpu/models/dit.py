@@ -23,7 +23,7 @@ solver-layout complex [N, E, T, Y, X].
 """
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

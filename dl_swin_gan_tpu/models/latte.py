@@ -12,8 +12,6 @@ real channels directly, kept faithful here).
 """
 
 import math
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ identical to the reference's two-conv expansion (resnet3d.py:92-106) but a
 single large MXU op instead of four small ones.
 """
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

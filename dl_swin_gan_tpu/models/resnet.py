@@ -23,7 +23,7 @@ The module maps solver-layout complex images [N, E, T, Y, X] to themselves;
 internally it runs channels-last [N, T, Y, X, C].
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ innermost axes directly onto the TPU FFT path, so we always transform the
 trailing `ndims` axes and keep the operator layout [..., t, y, x].
 """
 
-from functools import partial
-
 import jax.numpy as jnp
 
 

@@ -16,7 +16,7 @@ Functions are written against an array-module parameter `xp` (jnp by
 default, numpy for the loader) — the math is identical.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

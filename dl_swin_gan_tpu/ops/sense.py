@@ -18,7 +18,6 @@ so solver code reads like the math.
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax

@@ -18,14 +18,13 @@ is injected, collapsing both files):
 (unrolledDiT.py:61-83).
 """
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from dl_swin_gan_tpu.ops.cg import conjugate_gradient
-from dl_swin_gan_tpu.ops.sense import SenseOp
 
 
 class DiffusionUnrolled(nn.Module):

@@ -17,7 +17,6 @@ Shapes: L [N, e*b^2, r], R [N, t, r]; spatial CNN runs a 2D ResNet on
 [N, r*e, b, b], temporal CNN a 1D ResNet on [N, r, t] (reference :139-164).
 """
 
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ crude shell auto-resume in run_script.sh:58-71 — here resume is first-class:
 import os
 from typing import Any, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -13,8 +13,6 @@ Both updates run inside ONE jitted step over the ('data','fsdp') mesh.
 """
 
 import logging
-import os
-import time
 from typing import Any, Dict, Optional
 
 import jax
@@ -25,9 +23,8 @@ from flax import struct
 from dl_swin_gan_tpu.models.discriminator import PatchDiscriminator3D
 from dl_swin_gan_tpu.parallel.mesh import fsdp_shardings, shard_batch
 from dl_swin_gan_tpu.train import packing
-from dl_swin_gan_tpu.train.checkpoint import CheckpointManager
-from dl_swin_gan_tpu.train.losses import compute_metrics, select_loss
-from dl_swin_gan_tpu.train.trainer import MetricsWriter, Trainer
+from dl_swin_gan_tpu.train.losses import select_loss
+from dl_swin_gan_tpu.train.trainer import Trainer
 from dl_swin_gan_tpu.train.train_state import make_optimizer
 
 logger = logging.getLogger(__name__)

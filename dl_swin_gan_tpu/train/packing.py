@@ -8,7 +8,7 @@ therefore takes/returns float32 pytrees: complex leaves are packed as
 `jax.lax.complex` on device.
 """
 
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import numpy as np

@@ -8,7 +8,7 @@ to the fsdp mesh axis (see parallel/mesh.py), so no CPU-offload optimizer
 is needed.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax

@@ -13,8 +13,7 @@ import json
 import logging
 import os
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,9 +21,7 @@ import numpy as np
 
 from dl_swin_gan_tpu.data import CinePreprocess, DataLoader, Hdf5Dataset
 from dl_swin_gan_tpu.models import build_denoiser
-from dl_swin_gan_tpu.parallel.mesh import (
-    batch_sharding, fsdp_shardings, make_mesh, replicated, shard_batch,
-)
+from dl_swin_gan_tpu.parallel.mesh import fsdp_shardings, make_mesh, shard_batch
 from dl_swin_gan_tpu.solvers import build_solver
 from dl_swin_gan_tpu.train import packing
 from dl_swin_gan_tpu.train.checkpoint import CheckpointManager

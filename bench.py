@@ -55,6 +55,10 @@ def bench_recon():
     batch = packing.pack({key: np.stack([e[key] for e in exs])
                           for key in exs[0]})
 
+    # device-resident batch: the axon relay's host->device path is ~40 MB/s,
+    # so re-uploading the batch per call would measure the relay, not the TPU
+    batch = jax.tree.map(jax.device_put, batch)
+
     model = build_solver(cfg, lambda: build_denoiser(cfg))
     params = jax.jit(lambda p_: model.init(
         jax.random.PRNGKey(0), packing.unpack(p_)["kspace"],
@@ -127,6 +131,8 @@ def main():
         k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=b)
         exs.append(pre(k, m, t, f"bench_{b}"))
     batch = packing.pack({key: np.stack([e[key] for e in exs]) for key in exs[0]})
+
+    batch = jax.tree.map(jax.device_put, batch)  # see bench_recon note
 
     model = build_solver(cfg, lambda: build_denoiser(cfg))
     tx = make_optimizer(cfg)

@@ -49,12 +49,15 @@ def _adjoint_impl(y, maps, mask):
 
 
 # ---------------------------------------------------------------------------
-# Custom VJPs: XLA's auto-derived transpose of the FFT/broadcast chains is
-# ~20x slower than the forward on TPU (measured on v5e). All three SENSE ops
-# are linear in their data argument, so the JAX (holomorphic) VJP is just
-#     vjp_f(g) = f_adjoint-in-the-transpose-sense(g) = conj(f^H(conj(g)))
-# which reuses the same fused forward code path. maps/mask are acquisition
-# data — their cotangents are structurally zero in every training loss here.
+# Custom VJPs. All three SENSE ops are linear in their data argument, so the
+# JAX (holomorphic) VJP is exactly
+#     vjp_f(g) = conj(f^H(conj(g)))
+# which reuses the fused forward code path instead of XLA's auto-derived
+# transpose of the FFT/broadcast chain. Wall-clock on v5e is the same as
+# autodiff (XLA transposes these chains well); the custom rules are kept
+# because they are exact (validated against autodiff to ~1e-7), emit far
+# fewer HLOs, and skip cotangent computation for maps/mask — acquisition
+# data whose gradients are structurally zero in every training loss here.
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp

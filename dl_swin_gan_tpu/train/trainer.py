@@ -234,9 +234,22 @@ class Trainer:
             jax.profiler.start_trace(profile_dir)
             logger.info("jax profiler tracing to %s", profile_dir)
 
+        def device_batches(loader):
+            """Overlap host->device transfer with compute: device_put is
+            async, so uploading batch N+1 while step N executes hides the
+            transfer (the relay's H2D path is slow; see CLAUDE.md)."""
+            it = iter(loader)
+            try:
+                nxt = shard_batch(packing.pack(next(it)), self.mesh)
+            except StopIteration:
+                return
+            for batch in it:
+                cur, nxt = nxt, shard_batch(packing.pack(batch), self.mesh)
+                yield cur
+            yield nxt
+
         for epoch in range(max_epochs):
-            for batch in train_loader:
-                packed = shard_batch(packing.pack(batch), self.mesh)
+            for packed in device_batches(train_loader):
                 state, metrics = self._train_step(state, packed)
                 steps_done += 1
                 step = int(state.step)

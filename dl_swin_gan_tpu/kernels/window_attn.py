@@ -14,8 +14,12 @@ rematerialization; no online softmax needed since a whole window fits VMEM).
 Gradients flow to q, k, v and the relative-position bias; the shift mask is
 a 0/-100 constant.
 
-Off-TPU (or with DL_SWIN_GAN_NO_PALLAS=1) the module transparently uses the
-pure-XLA einsum path.
+The Pallas path is OPT-IN (DL_SWIN_GAN_PALLAS=1): measured device-resident
+on v5e, the fused kernel wins in isolation (~25%) but loses ~20% inside the
+full unrolled-Swin train step, where XLA fuses the attention into the
+surrounding graph. Its advantage is HBM footprint (no materialized
+[B*nW, heads, N, N] tensors), which matters at batch sizes this benchmark
+doesn't reach; revisit when training at scale.
 """
 
 import os
@@ -34,7 +38,7 @@ except Exception:  # pragma: no cover
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("DL_SWIN_GAN_NO_PALLAS") == "1" or not _HAS_PALLAS:
+    if os.environ.get("DL_SWIN_GAN_PALLAS") != "1" or not _HAS_PALLAS:
         return False
     try:
         return jax.default_backend() not in ("cpu", "gpu")

@@ -216,7 +216,7 @@ def window_attention_sharded(q, k, v, bias, mask, mesh, axis: str = "data"):
     Use for single-volume inference whose window count exceeds one chip's
     appetite; requires W % mesh.shape[axis] == 0.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     W = q.shape[0]

@@ -101,6 +101,7 @@ class DiffusionTrainer:
             timestep_respacing="", noise_schedule=p.NOISE_SCHED,
             diffusion_steps=sample_steps, learn_sigma=p.LEARN_SIGMA,
             predict_xstart=predict_xstart)
+        self.steps_per_epoch = 1  # fit() overwrites with len(loader)
         self.tx = make_optimizer(cfg)
         self.renormalize = cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA
         self.submask_rng = np.random.RandomState(cfg.SEED + 99)
@@ -245,6 +246,10 @@ class DiffusionTrainer:
                                     batch_size=cfg.DATALOADER.VAL_BATCH_SIZE,
                                     num_workers=cfg.DATALOADER.NUM_WORKERS,
                                     shuffle=False, drop_last=False)
+
+        # per-epoch StepLR semantics (see Trainer.fit / train_state.py)
+        self.steps_per_epoch = max(1, len(train_loader))
+        self.tx = make_optimizer(cfg, steps_per_epoch=self.steps_per_epoch)
 
         sample = next(iter(train_loader))
         state = self.init_state(sample)

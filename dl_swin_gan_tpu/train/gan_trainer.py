@@ -51,7 +51,13 @@ class GANTrainer(Trainer):
         d_cfg.defrost()
         d_cfg.OPTIMIZER.ADAM.LR = g.DISC_LR
         d_cfg.freeze()
+        self._d_cfg = d_cfg
         self.d_tx = make_optimizer(d_cfg)
+
+    def set_steps_per_epoch(self, n: int) -> None:
+        super().set_steps_per_epoch(n)
+        self.d_tx = make_optimizer(self._d_cfg,
+                                   steps_per_epoch=self.steps_per_epoch)
 
     # ------------------------------------------------------------------ init
     def init_state(self, sample_batch: dict, seed: Optional[int] = None):
@@ -136,9 +142,6 @@ class GANTrainer(Trainer):
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._val_step = jax.jit(val_step)
 
-    # validate() accesses state.params in the base class; adapt
-    def validate(self, state, val_loader, writer=None) -> Dict[str, float]:
-        class _Shim:
-            params = state.g_params
-            step = state.step
-        return super().validate(_Shim, val_loader, writer)
+    # base validate() reconstructs with the generator's params
+    def _val_params(self, state):
+        return state.g_params

@@ -22,15 +22,29 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any  # empty dict when EMA disabled (static pytree structure)
 
 
-def make_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation:
-    """Adam(+WD) with StepLR staircase decay, optional clip + accumulation."""
-    opt = cfg.OPTIMIZER
-    sched = optax.exponential_decay(
-        init_value=opt.ADAM.LR,
-        transition_steps=max(1, cfg.LR_SCHEDULER.STEP_SIZE * steps_per_epoch),
+def make_lr_schedule(cfg, steps_per_epoch: int = 1) -> optax.Schedule:
+    """StepLR twin: lr = LR * GAMMA ** (epoch // STEP_SIZE).
+
+    Reference StepLR steps once per EPOCH (train.py:148-151), so the decay
+    boundary in optimizer-update units is STEP_SIZE * updates_per_epoch.
+    `steps_per_epoch` counts dataloader batches; with gradient accumulation
+    the inner Adam count (which drives this schedule under optax.MultiSteps)
+    only advances every GRAD_ACCUM_ITERS batches, hence the division.
+    """
+    accum = max(1, cfg.OPTIMIZER.GRAD_ACCUM_ITERS)
+    updates_per_epoch = max(1, steps_per_epoch // accum)
+    return optax.exponential_decay(
+        init_value=cfg.OPTIMIZER.ADAM.LR,
+        transition_steps=max(1, cfg.LR_SCHEDULER.STEP_SIZE * updates_per_epoch),
         decay_rate=cfg.LR_SCHEDULER.GAMMA,
         staircase=True,
     )
+
+
+def make_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """Adam(+WD) with per-epoch StepLR decay, optional clip + accumulation."""
+    opt = cfg.OPTIMIZER
+    sched = make_lr_schedule(cfg, steps_per_epoch)
     b1, b2 = opt.ADAM.BETAS
     if opt.ADAM.WEIGHT_DECAY > 0:
         tx = optax.adamw(sched, b1=b1, b2=b2, eps=opt.ADAM.EPS,

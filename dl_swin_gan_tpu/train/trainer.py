@@ -81,6 +81,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             data=cfg.PARALLEL.DATA_AXIS, fsdp=fsdp_axis)
         self._build_models(cfg)
+        self.steps_per_epoch = steps_per_epoch_hint  # fit() overwrites with len(loader)
         self.tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch_hint)
         self.loss_name = cfg.MODEL.RECON_LOSS.NAME
         self.loss_weight = cfg.MODEL.RECON_LOSS.LOSS_WEIGHT
@@ -97,6 +98,11 @@ class Trainer:
         self.model = build_solver(cfg, lambda: build_denoiser(cfg))
         self.train_model = build_solver(
             cfg, lambda: build_denoiser(cfg, deterministic=False))
+
+    def set_steps_per_epoch(self, n: int) -> None:
+        """Rebuild optimizer(s) for per-epoch StepLR once the dataset is known."""
+        self.steps_per_epoch = max(1, n)
+        self.tx = make_optimizer(self.cfg, steps_per_epoch=self.steps_per_epoch)
 
     def make_preprocess(self, aug_node=None, use_seed=False):
         return CinePreprocess(self.cfg, aug_node=aug_node, use_seed=use_seed)
@@ -212,6 +218,11 @@ class Trainer:
                                     num_workers=cfg.DATALOADER.NUM_WORKERS,
                                     shuffle=False, drop_last=False)
 
+        # StepLR decays per EPOCH (reference train.py:148-151) — now that the
+        # dataset is known, rebuild the optimizer with the real epoch length
+        # (the __init__ hint defaults to 1, which would decay per step).
+        self.set_steps_per_epoch(len(train_loader))
+
         sample = next(iter(train_loader))
         state = self.init_state(sample)
         self._build_steps()
@@ -283,15 +294,20 @@ class Trainer:
         writer.close()
         return state
 
+    def _val_params(self, state):
+        """Params used for validation (GANTrainer overrides: generator)."""
+        return state.params
+
     def validate(self, state: TrainState, val_loader,
                  writer: Optional[MetricsWriter] = None) -> Dict[str, float]:
         if self._val_step is None:
             self._build_steps()
         acc: Dict[str, list] = {}
         vis = None
+        params = self._val_params(state)
         for batch in val_loader:
             packed = shard_batch(packing.pack(batch), self.mesh)
-            metrics, vis = self._val_step(state.params, packed)
+            metrics, vis = self._val_step(params, packed)
             for k, v in metrics.items():
                 acc.setdefault(k, []).append(float(v))
         out = {k: float(np.mean(v)) for k, v in acc.items()}

@@ -65,6 +65,67 @@ class Reconstructor:
         return packing.unpack_np(out).astype(np.complex64)
 
 
+class DiffusionReconstructor:
+    """Conditional hard-DC sampling reconstruction for DiT/Latte checkpoints.
+
+    The reference has NO diffusion inference script — conditional sampling
+    only happens inside training logging (train_DiT.py:283-291). This
+    productizes the same `p_sample_loop_conditional` chain (100 respaced
+    steps by default) as a first-class inference path: one compiled
+    `lax.scan` over the reverse process, hard k-space data consistency
+    after every step except t=0 (gaussian_diffusion.py:524-632).
+    """
+
+    def __init__(self, cfg, params, sample_steps: int = 100, seed: int = 0):
+        from dl_swin_gan_tpu.diffusion import create_diffusion
+        from dl_swin_gan_tpu.ops.sense import SenseOp
+        from dl_swin_gan_tpu.solvers.diffusion_unrolled import (
+            build_diffusion_solver,
+        )
+        from dl_swin_gan_tpu.train.diffusion_trainer import (
+            make_diffusion_denoiser_factory,
+        )
+        import jax.numpy as jnp
+
+        p = cfg.MODEL.PARAMETERS
+        self.params = params
+        self.seed = seed
+        self.model = build_diffusion_solver(
+            cfg, make_diffusion_denoiser_factory(cfg, deterministic=True))
+        predict_xstart = cfg.MODEL.META_ARCHITECTURE.lower() != "ddpm_e"
+        # fresh short process for sampling (train_DiT.py:125-130)
+        self.diffusion = create_diffusion(
+            timestep_respacing="", noise_schedule=p.NOISE_SCHED,
+            diffusion_steps=sample_steps, learn_sigma=p.LEARN_SIGMA,
+            predict_xstart=predict_xstart)
+
+        def _recon(params, packed, key):
+            b = packing.unpack(packed)
+
+            def model_fn(x, t, **kw):
+                return self.model.apply({"params": params}, x, t, **kw)
+
+            kwargs = dict(
+                A=SenseOp(b["maps"], b["mask"]),
+                A_1=SenseOp(b["maps"], 1.0 - b["mask"]),
+                A_F=SenseOp(b["maps"], None),
+                A_S=SenseOp(b["maps"], b["mask"]),
+                c=jnp.ones((b["init_image"].shape[0],), jnp.int32),
+            )
+            gen = self.diffusion.p_sample_loop_conditional(
+                key, model_fn, b["init_image"], kwargs, clip_denoised=False)
+            scale = b["scale"].reshape((-1,) + (1,) * (gen.ndim - 1))
+            return packing.pack_jnp(gen * scale)
+
+        self._recon = jax.jit(_recon)
+
+    def __call__(self, batch: dict) -> np.ndarray:
+        batch = {k: v for k, v in batch.items() if k != "kspace"}  # unused
+        packed = packing.pack(batch)
+        out = self._recon(self.params, packed, jax.random.PRNGKey(self.seed))
+        return packing.unpack_np(out).astype(np.complex64)
+
+
 def _batched(examples, batch_size):
     for i in range(0, len(examples), batch_size):
         chunk = examples[i:i + batch_size]
@@ -72,7 +133,8 @@ def _batched(examples, batch_size):
 
 
 def reconstruct_h5_file(h5_path: str, out_directory: str, cfg, params,
-                        acceleration: float = 1, batch_size: int = 1) -> str:
+                        acceleration: float = 1, batch_size: int = 1,
+                        sample_steps: int = 100) -> str:
     """Reconstruct one prepared H5 file; writes `<name>_<R>accel.im` CFL.
 
     accel > 1: re-undersample at the parity seed (reconstruct_h5.py:417-420).
@@ -96,7 +158,13 @@ def reconstruct_h5_file(h5_path: str, out_directory: str, cfg, params,
         examples = [transform(f["kspace"][s], f["maps"][s])
                     for s in range(n_slices)]
 
-    recon = Reconstructor(cfg, params) if acceleration > 1 else None
+    recon = None
+    if acceleration > 1:
+        if cfg.MODEL.MODEL_TYPE.upper() in ("DIT", "LATTE"):
+            recon = DiffusionReconstructor(cfg, params,
+                                           sample_steps=sample_steps)
+        else:
+            recon = Reconstructor(cfg, params)
 
     t0 = time.perf_counter()
     out = []

@@ -94,20 +94,36 @@ def _sincos_1d(dim: int, pos: np.ndarray) -> np.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
 
-def pos_embed_3d(dim: int, grid: Tuple[int, int, int]) -> np.ndarray:
-    """3D sin-cos positional embedding for tokens in f-major (f, h, w) order.
+def pos_embed_3d(dim: int, grid: Tuple[int, int, int],
+                 max_grid: Tuple[int, int, int] = (128, 128, 15)) -> np.ndarray:
+    """Bit-faithful twin of the reference PosEmbed lookup (DiT.py:253-306).
 
-    Trace-time numpy constant — replaces the reference's fixed max-grid table
-    + index gymnastics (:253-305) with a direct per-grid computation.
+    The reference builds a sin-cos table over max_grid via an 'xy'-indexed
+    np.meshgrid (which swaps the first two axes), then selects token
+    (f, h, w) with flat index r = w + maxF*h + maxF*maxH*f — an indexing
+    that does NOT invert the table layout. The per-token vectors are
+    therefore scrambled-but-deterministic constants; training adapts to
+    them, so weight-level parity requires replicating the scramble exactly.
+    Computed here in closed form (no table): unraveling r over the
+    table's (maxH, maxF, maxW) shape gives the three embedded values.
+
+    Trace-time numpy constant; grids beyond max_grid (where the reference
+    would index out of bounds) extend gracefully via the same formulas.
     """
     F, H, W = grid
+    maxF, maxH, maxW = max_grid
     d = dim // 3
+    d_even = d if d % 2 == 0 else d - 1
     ff, hh, ww = np.meshgrid(np.arange(F), np.arange(H), np.arange(W),
                              indexing="ij")
+    r = (ww + maxF * hh + maxF * maxH * ff).reshape(-1)
+    pos_t = (r // maxW) % maxF   # table grid_t value at the selected cell
+    pos_w = r // (maxF * maxW)   # table grid_w value
+    pos_h = r % maxW             # table grid_h value
     emb = np.concatenate([
-        _sincos_1d(d if d % 2 == 0 else d - 1, ff.astype(np.float64)),
-        _sincos_1d(d if d % 2 == 0 else d - 1, hh.astype(np.float64)),
-        _sincos_1d(d if d % 2 == 0 else d - 1, ww.astype(np.float64)),
+        _sincos_1d(d_even, pos_t.astype(np.float64)),
+        _sincos_1d(d_even, pos_w.astype(np.float64)),
+        _sincos_1d(d_even, pos_h.astype(np.float64)),
     ], axis=1)
     if emb.shape[1] < dim:
         emb = np.concatenate(
@@ -116,11 +132,14 @@ def pos_embed_3d(dim: int, grid: Tuple[int, int, int]) -> np.ndarray:
 
 
 def pos_embed_2d(dim: int, grid: Tuple[int, int]) -> np.ndarray:
+    """Twin of Latte's PosEmbed lookup (Latte.py:475-508): the 'xy'-meshgrid
+    table + `h + w*max_H` flat index work out (for W <= max grid 128) to
+    embedding the COLUMN in the first dim/2 and the ROW in the second."""
     H, W = grid
     hh, ww = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     emb = np.concatenate([
-        _sincos_1d(dim // 2, hh.astype(np.float64)),
         _sincos_1d(dim // 2, ww.astype(np.float64)),
+        _sincos_1d(dim // 2, hh.astype(np.float64)),
     ], axis=1)
     return emb.astype(np.float32)
 

@@ -129,6 +129,10 @@ class DiffusionTrainer:
     def prepare_batch(self, batch: dict) -> dict:
         """Add the DDPM_X 90/10 submask split on host (numpy RNG parity)."""
         batch = dict(batch)
+        # raw k-space is never consumed by the diffusion paths (the SenseOps
+        # are built from maps+masks; losses are on target) — don't ship it
+        # through the slow host->device relay (~17 MB/example saved)
+        batch.pop("kspace", None)
         if self.meta == "ddpm_x":
             mask_r, mask_p = submask_np(batch["mask"], 0.9, self.submask_rng)
             batch["mask_r"] = mask_r

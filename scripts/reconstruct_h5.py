@@ -28,7 +28,12 @@ def main(argv=None):
     parser.add_argument("--acceleration", type=float, default=1)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--model", default=None,
-                        help="override MODEL.MODEL_TYPE (RES/SE/CBAM/SWIN)")
+                        help="override MODEL.MODEL_TYPE "
+                             "(RES/SE/CBAM/SWIN/DiT/Latte)")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="reconstruct with the EMA weights (diffusion)")
+    parser.add_argument("--sample-steps", type=int, default=100,
+                        help="diffusion sampling steps (DiT/Latte)")
     parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
     args = parser.parse_args(argv)
 
@@ -42,11 +47,12 @@ def main(argv=None):
         cfg.merge_from_list(args.opts)
     cfg.freeze()
 
-    params = (load_checkpoint_params(args.ckpt)
+    params = (load_checkpoint_params(args.ckpt, use_ema=args.use_ema)
               if args.acceleration > 1 else None)
     out = reconstruct_h5_file(args.file, args.out_directory, cfg, params,
                               acceleration=args.acceleration,
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size,
+                              sample_steps=args.sample_steps)
     print(out)
     return out
 

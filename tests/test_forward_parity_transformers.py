@@ -1,0 +1,197 @@
+"""Weight-level forward parity vs the PyTorch reference for the transformer
+backbones (DiT / Latte / video-Swin U-Net) — the three hardest ports.
+
+The reference modules import timm, which is absent from this image;
+tests/timm_shim.py installs faithful stand-ins for the handful of symbols
+used (DropPath, trunc_normal_, Attention, Mlp) so the reference files load
+unchanged and serve as golden oracles. Reference weights are copied into
+the flax modules and outputs compared on identical inputs.
+"""
+
+import sys
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _load_ref(modname):
+    try:
+        sys.path.insert(0, "/root/repo/tests")
+        import timm_shim
+        timm_shim.install()
+        sys.path.insert(0, "/root/reference")
+        import torch  # noqa: F401
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            __import__(f"dl_cs.models.{modname}")
+        return sys.modules[f"dl_cs.models.{modname}"]
+    except Exception:
+        return None
+
+
+def _lin(w):
+    """torch Linear weight [out, in] -> flax Dense kernel [in, out]."""
+    return jnp.asarray(w.detach().numpy().T)
+
+
+def _b(x):
+    return jnp.asarray(x.detach().numpy())
+
+
+def _conv3d(w):
+    """torch conv weight [out, in, kt, ky, kx] -> flax [kt, ky, kx, in, out]."""
+    return jnp.asarray(w.detach().numpy().transpose(2, 3, 4, 1, 0))
+
+
+def _map_dense(ref_linear, flax_dense):
+    flax_dense["kernel"] = _lin(ref_linear.weight)
+    if ref_linear.bias is not None:
+        flax_dense["bias"] = _b(ref_linear.bias)
+
+
+def _map_convblock(ref_block, flax_block):
+    """Reference ConvBlock.layers = (Norm, Act, Conv) -> our ConvBlock (real)."""
+    conv = ref_block.layers[2]
+    flax_block["Conv_0"]["Conv_0"]["kernel"] = _conv3d(conv.conv.weight)
+    flax_block["Conv_0"]["Conv_0"]["bias"] = _b(conv.conv.bias)
+
+
+def _map_dit_core(ref_dit, flax_dit, depth):
+    """Shared DiT-core mapping (x/t/y embedders, factor blocks, final)."""
+    flax_dit["x_embedder"]["kernel"] = _conv3d(ref_dit.x_embedder.proj.weight)
+    flax_dit["x_embedder"]["bias"] = _b(ref_dit.x_embedder.proj.bias)
+    _map_dense(ref_dit.t_embedder.mlp[0], flax_dit["t_embedder"]["Dense_0"])
+    _map_dense(ref_dit.t_embedder.mlp[2], flax_dit["t_embedder"]["Dense_1"])
+    flax_dit["y_embedder"]["Embed_0"]["embedding"] = _b(
+        ref_dit.y_embedder.embedding_table.weight)
+    for i in range(depth):
+        rb = ref_dit.blocks[i]
+        fb = flax_dit[f"DiTBlockFactor_{i}"]
+        _map_dense(rb.adaLN_modulation[1], fb["adaLN_modulation"])
+        _map_dense(rb.attn.qkv, fb["attn"]["qkv"])
+        _map_dense(rb.attn.proj, fb["attn"]["proj"])
+        _map_dense(rb.mlp.fc1, fb["Mlp_0"]["Dense_0"])
+        _map_dense(rb.mlp.fc2, fb["Mlp_0"]["Dense_1"])
+    _map_dense(ref_dit.final_layer.adaLN_modulation[1],
+               flax_dit["final_layer"]["adaLN_modulation"])
+    _map_dense(ref_dit.final_layer.linear, flax_dit["final_layer"]["linear"])
+
+
+def test_dit_resnet_forward_matches_reference(make_complex, capsys):
+    """DiTResNet: SFE conv -> DiT (factorized adaLN-Zero blocks, scrambled
+    PosEmbed lookup, unpatchify2 crop) -> residual final conv
+    (reference DiT.py:1284-1351, 546-632, 311-350)."""
+    ref_mod = _load_ref("DiT")
+    if ref_mod is None:
+        pytest.skip("reference/torch unavailable")
+    import torch
+
+    from dl_swin_gan_tpu.models.dit import DiTResNet
+
+    E, T, Y, X = 2, 6, 12, 10
+    hidden, depth, heads = 48, 2, 4
+    torch.manual_seed(3)
+    ref = ref_mod.DiTResNet(
+        num_blocks=0, in_chans=2 * E, chans=hidden, kernel_size=3,
+        act_type="relu", num_heads=heads, num_layers=depth,
+        use_complex_layers=False, circular_pad=True, learn_sigma=False).eval()
+    # give the zero-init layers real weights so parity is non-trivial
+    with torch.no_grad():
+        for blk in ref.DiT.blocks:
+            blk.adaLN_modulation[1].weight.normal_(0, 0.02)
+            blk.adaLN_modulation[1].bias.normal_(0, 0.02)
+        ref.DiT.final_layer.adaLN_modulation[1].weight.normal_(0, 0.02)
+        ref.DiT.final_layer.linear.weight.normal_(0, 0.02)
+
+    net = DiTResNet(num_emaps=E, hidden_size=hidden, depth=depth,
+                    num_heads=heads, patch_size=(2, 4, 4), num_blocks=0,
+                    kernel_size=3, act_type="relu", circular_pad=True,
+                    learn_sigma=False, deterministic=True)
+
+    x = make_complex((1, E, T, Y, X))
+    t = np.array([37], np.int32)
+    y = np.array([0], np.int32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t),
+                      jnp.asarray(y))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    _map_convblock(ref.SFE, params["SFE"])
+    _map_dit_core(ref.DiT, params["DiT"], depth)
+    _map_convblock(ref.final_layer, params["final_layer"])
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t).long(),
+                      torch.from_numpy(y).long()).numpy()
+    capsys.readouterr()  # swallow the reference forward's debug print
+    out = np.asarray(net.apply({"params": params}, jnp.asarray(x),
+                               jnp.asarray(t), jnp.asarray(y)))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_latte_net_forward_matches_reference(make_complex):
+    """LatteNet: interleaved spatial/temporal adaLN-Zero blocks, per-frame 2D
+    patch embed, temp-embed added after block 0, unused-SFE quirk
+    (reference Latte.py:861-937, 475-560, 294-320)."""
+    ref_mod = _load_ref("Latte")
+    if ref_mod is None:
+        pytest.skip("reference/torch unavailable")
+    import torch
+
+    from dl_swin_gan_tpu.models.latte import LatteNet
+
+    E, T, Y, X = 2, 6, 12, 10
+    hidden, depth, heads = 48, 4, 4
+    torch.manual_seed(4)
+    ref = ref_mod.LatteNet(
+        num_blocks=0, in_chans=2 * E, chans=hidden, kernel_size=3,
+        act_type="relu", num_heads=heads, num_layers=depth,
+        use_complex_layers=False, circular_pad=True, learn_sigma=False).eval()
+    with torch.no_grad():
+        for blk in ref.Latte.blocks:
+            blk.adaLN_modulation[1].weight.normal_(0, 0.02)
+            blk.adaLN_modulation[1].bias.normal_(0, 0.02)
+        ref.Latte.final_layer.adaLN_modulation[1].weight.normal_(0, 0.02)
+        ref.Latte.final_layer.linear.weight.normal_(0, 0.02)
+
+    net = LatteNet(num_emaps=E, hidden_size=hidden, depth=depth,
+                   num_heads=heads, patch_size=4, num_blocks=0,
+                   kernel_size=3, circular_pad=True, learn_sigma=False,
+                   deterministic=True)
+
+    x = make_complex((1, E, T, Y, X))
+    t = np.array([411], np.int32)
+    y = np.array([0], np.int32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t),
+                      jnp.asarray(y))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    lat = params["Latte"]
+    w = ref.Latte.x_embedder.proj.weight  # Conv2d [out, in, kh, kw]
+    lat["x_embedder"]["kernel"] = jnp.asarray(
+        w.detach().numpy().transpose(2, 3, 1, 0))
+    lat["x_embedder"]["bias"] = _b(ref.Latte.x_embedder.proj.bias)
+    _map_dense(ref.Latte.t_embedder.mlp[0], lat["t_embedder"]["Dense_0"])
+    _map_dense(ref.Latte.t_embedder.mlp[2], lat["t_embedder"]["Dense_1"])
+    for i in range(depth):
+        rb = ref.Latte.blocks[i]
+        fb = lat[f"TransformerBlock_{i}"]
+        _map_dense(rb.adaLN_modulation[1], fb["adaLN_modulation"])
+        _map_dense(rb.attn.qkv, fb["attn"]["qkv"])
+        _map_dense(rb.attn.proj, fb["attn"]["proj"])
+        _map_dense(rb.mlp.fc1, fb["Mlp_0"]["Dense_0"])
+        _map_dense(rb.mlp.fc2, fb["Mlp_0"]["Dense_1"])
+    _map_dense(ref.Latte.final_layer.adaLN_modulation[1],
+               lat["final_layer"]["adaLN_modulation"])
+    _map_dense(ref.Latte.final_layer.linear, lat["final_layer"]["linear"])
+    # the reference's SFE / final ConvBlocks exist but its forward skips them
+    # (the unused-SFE quirk) — nothing to copy.
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t).long(),
+                      torch.from_numpy(y).long()).numpy()
+    out = np.asarray(net.apply({"params": params}, jnp.asarray(x),
+                               jnp.asarray(t), jnp.asarray(y)))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)

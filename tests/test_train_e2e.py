@@ -121,6 +121,18 @@ def test_diffusion_trainer_fit_tiny(tiny_cfg, tmp_path):
     assert gen.shape == batch["target"].shape
     assert np.isfinite(np.abs(gen)).all()
 
+    # the diffusion inference path (reconstruct_h5 dispatches DiT/Latte to
+    # DiffusionReconstructor conditional hard-DC sampling)
+    from dl_swin_gan_tpu.data import cfl
+    from dl_swin_gan_tpu.infer import load_checkpoint_params, reconstruct_h5_file
+    h5 = os.path.join(cfg.DATASET.VAL[0], os.listdir(cfg.DATASET.VAL[0])[0])
+    params = load_checkpoint_params(ckpt, use_ema=True)
+    out = reconstruct_h5_file(h5, str(tmp_path / "dit_recon"), cfg, params,
+                              acceleration=4, sample_steps=2)
+    im = cfl.read(out, order="F")
+    assert im.shape[:2] == (24, 32)
+    assert np.isfinite(np.abs(im)).all() and np.abs(im).max() > 0
+
 
 def test_gan_trainer_fit_tiny(tiny_cfg, tmp_path):
     """GANTrainer end-to-end on CPU: adversarial + recon losses finite,

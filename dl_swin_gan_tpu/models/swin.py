@@ -193,7 +193,12 @@ class SwinBlock3D(nn.Module):
             attn_mask = None
 
         wins = window_partition(h, ws)
-        wins = WindowAttention3D(self.dim, ws, self.num_heads,
+        # NOTE: the attention module is built with the CONFIGURED window size
+        # — when an axis shrinks the window (get_window_size), the reference
+        # keeps the full-size bias table and slices its index [:N, :N]
+        # (video_swin...downsample.py:152-155), which selects different bias
+        # entries than re-deriving the index for the small window would.
+        wins = WindowAttention3D(self.dim, self.window_size, self.num_heads,
                                  self.qkv_bias, name="attn")(wins, attn_mask)
         h = window_reverse(wins, ws, B, Dp, Hp, Wp)
 
@@ -208,7 +213,8 @@ class SwinBlock3D(nn.Module):
         h = LayerNorm()(x)
         hidden = int(self.dim * self.mlp_ratio)
         h = nn.Dense(hidden)(h)
-        h = nn.gelu(h)
+        # reference Mlp uses torch nn.GELU() = exact erf form (not tanh)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim)(h)
         return x + DropPath(self.drop_path, self.deterministic)(h)
 

@@ -131,6 +131,79 @@ def test_dit_resnet_forward_matches_reference(make_complex, capsys):
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
 
 
+def _map_ln(ref_ln, flax_ln):
+    flax_ln["scale"] = _b(ref_ln.weight)
+    flax_ln["bias"] = _b(ref_ln.bias)
+
+
+def test_video_swin_unet_forward_matches_reference(rng):
+    """SwinTransformer3D U-Net: patch embed, shifted-window attention with
+    3D relative-position bias + masks, PatchMerging/PatchExpand, transposed
+    -conv unembed with center crop (reference
+    video_swin_transformer_mri_downsample.py:735-756 forward)."""
+    ref_mod = _load_ref("video_swin_transformer_mri_downsample")
+    if ref_mod is None:
+        pytest.skip("reference/torch unavailable")
+    import torch
+
+    from dl_swin_gan_tpu.models.swin import SwinTransformer3D
+
+    C, D, H, W = 8, 4, 26, 16
+    depths, heads = (2, 2), (2, 4)
+    embed, ps, ws = 16, (2, 4, 4), (2, 4, 4)
+    torch.manual_seed(5)
+    ref = ref_mod.SwinTransformer3D(
+        patch_size=ps, in_chans=C, embed_dim=embed, depths=list(depths),
+        num_heads=list(heads), window_size=ws, drop_path_rate=0.0)
+    ref.eval()  # the reference overrides train() without returning self
+
+    net = SwinTransformer3D(in_chans=C, embed_dim=embed, patch_size=ps,
+                            depths=depths, num_heads=heads, window_size=ws,
+                            drop_path_rate=0.0, deterministic=True)
+
+    x = rng.standard_normal((1, D, H, W, C)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    params["patch_embed"]["kernel"] = _conv3d(ref.patch_embed.proj.weight)
+    params["patch_embed"]["bias"] = _b(ref.patch_embed.proj.bias)
+    for i, depth in enumerate(depths):
+        rl = ref.layers[i]
+        fl = params[f"BasicLayer_{i}"]
+        for j in range(depth):
+            rb = rl.blocks[j]
+            fb = fl[f"SwinBlock3D_{j}"]
+            _map_ln(rb.norm1, fb["LayerNorm_0"])
+            fb["attn"]["relative_position_bias_table"] = _b(
+                rb.attn.relative_position_bias_table)
+            _map_dense(rb.attn.qkv, fb["attn"]["qkv"])
+            _map_dense(rb.attn.proj, fb["attn"]["proj"])
+            _map_ln(rb.norm2, fb["LayerNorm_1"])
+            _map_dense(rb.mlp.fc1, fb["Dense_0"])
+            _map_dense(rb.mlp.fc2, fb["Dense_1"])
+        if rl.downsample is not None:
+            _map_ln(rl.downsample.norm, fl["PatchMerging_0"]["LayerNorm_0"])
+            fl["PatchMerging_0"]["Dense_0"]["kernel"] = _lin(
+                rl.downsample.reduction.weight)
+    for j in range(len(depths) - 1):
+        pe = params[f"PatchExpand_{j}"]
+        pe["Dense_0"]["kernel"] = _lin(ref.layers_up[j].expand.weight)
+        _map_ln(ref.layers_up[j].norm, pe["LayerNorm_0"])
+    # torch ConvTranspose3d weight [in, out, kt, ky, kx] -> flax [k..., in, out]
+    # with a spatial flip (flax ConvTranspose correlates, torch convolves)
+    params["patch_unembed"]["kernel"] = jnp.asarray(np.ascontiguousarray(
+        ref.patch_unembed.proj.weight.detach().numpy()
+        .transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1]))
+    params["patch_unembed"]["bias"] = _b(ref.patch_unembed.proj.bias)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(
+            x.transpose(0, 4, 1, 2, 3))).numpy()  # [B, C, D, H, W]
+    out = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out.transpose(0, 4, 1, 2, 3), ref_out,
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_latte_net_forward_matches_reference(make_complex):
     """LatteNet: interleaved spatial/temporal adaLN-Zero blocks, per-frame 2D
     patch embed, temp-embed added after block 0, unused-SFE quirk

@@ -137,7 +137,7 @@ class GANTrainer(Trainer):
             b = packing.unpack(packed_batch)
             pred = self._apply(params, b)
             metrics = self._metrics(pred, b, "Validate")
-            return metrics, jnp.abs(pred[:, 0])
+            return metrics, packing.pack_jnp(pred)
 
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._val_step = jax.jit(val_step)

@@ -106,7 +106,10 @@ class PerceptualLoss:
             if jnp.iscomplexobj(v):
                 x = jnp.stack([v.real, v.imag, jnp.zeros_like(v.real)], axis=-1)
             else:
-                x = jnp.repeat(v[..., None], 3, axis=-1)
+                # reference zero-pads two channels (metrics.py:95-96), so the
+                # VGG sees [mag, 0, 0] — NOT a 3x channel repeat
+                z = jnp.zeros_like(v)
+                x = jnp.stack([v, z, z], axis=-1)
             return x.reshape((-1,) + x.shape[2:])  # [(N T), Y, X, 3]
 
         # note: the reference wires (ref, pred) such that the PREDICTION goes
@@ -118,4 +121,6 @@ class PerceptualLoss:
         loss = 0.0
         for w, a, b in zip(TAP_WEIGHTS, fr, fp):
             loss = loss + w * jnp.mean(jnp.abs(jax.lax.stop_gradient(a) - b))
-        return loss
+        # the reference SUMS per-frame losses (metrics.py:99 `loss +=` over
+        # nt) — our batched mean over (N*T) frames must scale back by T
+        return loss * r.shape[1]

@@ -58,6 +58,33 @@ class MetricsWriter:
             img = (img - lo) / (hi - lo + 1e-12)
             self._tb.add_image(tag, img[None], step)  # [1, H, W]
 
+    def video(self, step: int, tag: str, frames: np.ndarray, fps: int = 7):
+        """frames: [T, Y, X] float. Mirrors reference save_video
+        (train.py:81-87): min-max normalize, (y,x)->(x,y) transpose, logged
+        as an animated-GIF image summary. (tensorboardX add_video needs
+        moviepy, absent here — a PIL-encoded GIF in a raw image summary is
+        what add_video produces anyway.)"""
+        if self._tb is None:
+            return
+        try:
+            import io
+            from PIL import Image
+            from tensorboardX.proto.summary_pb2 import Summary
+        except Exception:
+            return
+        v = frames.transpose(0, 2, 1)                  # [T, X, Y]
+        lo, hi = v.min(), v.max()
+        v = ((v - lo) / (hi - lo + 1e-12) * 255).astype(np.uint8)
+        imgs = [Image.fromarray(f, mode="L").convert("P") for f in v]
+        buf = io.BytesIO()
+        imgs[0].save(buf, format="GIF", save_all=True,
+                     append_images=imgs[1:],
+                     duration=max(1, int(1000 / fps)), loop=0)
+        img = Summary.Image(height=v.shape[1], width=v.shape[2], colorspace=1,
+                            encoded_image_string=buf.getvalue())
+        self._tb.file_writer.add_summary(
+            Summary(value=[Summary.Value(tag=tag, image=img)]), step)
+
     def close(self):
         self._jsonl.close()
         if self._tb:
@@ -188,8 +215,7 @@ class Trainer:
             batch = packing.unpack(packed_batch)
             pred = self._apply(params, batch)
             metrics = self._metrics(pred, batch, "Validate")
-            vis = jnp.abs(pred[:, 0])  # [N, T, Y, X] magnitude, first emap
-            return metrics, vis
+            return metrics, packing.pack_jnp(pred)
 
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._val_step = jax.jit(val_step)
@@ -269,11 +295,10 @@ class Trainer:
                     logger.info("profiler trace written to %s", profile_dir)
                     profile_dir = None
                 if img_every and step % img_every == 0 and self._val_step:
-                    # qualitative magnitude strip (reference train.py:73-101)
-                    _, vis = self._val_step(state.params, packed)
-                    frames = np.asarray(vis)[0]
-                    writer.image(step, "Train/magnitude",
-                                 np.concatenate(list(frames[:8]), axis=1))
+                    # qualitative magnitude/phase/error videos + mask image
+                    # (reference log_data, train.py:73-101)
+                    _, packed_pred = self._val_step(state.params, packed)
+                    self._log_videos(writer, step, packed, packed_pred)
                 if step % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.perf_counter() - t_start
@@ -298,26 +323,48 @@ class Trainer:
         """Params used for validation (GANTrainer overrides: generator)."""
         return state.params
 
+    def _log_videos(self, writer: MetricsWriter, step: int, packed_batch,
+                    packed_pred) -> None:
+        """Reference log_data parity (train.py:73-101): init|pred|target
+        magnitude + phase videos, |pred|-|target| error video, mask image."""
+        b = packing.unpack_np(packed_batch)
+        pred = packing.unpack_np(packed_pred)
+        init = b.get("init_image", np.zeros_like(pred))
+        target = b["target"]
+        if self.renormalize:
+            scale = b["scale"].reshape((-1,) + (1,) * (pred.ndim - 1))
+            pred, init, target = pred * scale, init * scale, target * scale
+        images = np.concatenate([init, pred, target], axis=3)[:, 0]  # [N,t,y,x]
+        err = np.abs(pred[:, 0]) - np.abs(target[:, 0])
+        writer.video(step, "Magnitude", np.abs(images[0]))
+        writer.video(step, "Phase", np.angle(images[0]))
+        writer.video(step, "MagnitudeError", np.abs(err[0]))
+        if "mask" in b:
+            writer.image(step, "Mask", np.abs(b["mask"][0, 0, :, :, -1]))
+
     def validate(self, state: TrainState, val_loader,
                  writer: Optional[MetricsWriter] = None) -> Dict[str, float]:
         if self._val_step is None:
             self._build_steps()
         acc: Dict[str, list] = {}
-        vis = None
+        last = None
         params = self._val_params(state)
         for batch in val_loader:
             packed = shard_batch(packing.pack(batch), self.mesh)
-            metrics, vis = self._val_step(params, packed)
+            metrics, packed_pred = self._val_step(params, packed)
+            last = (packed, packed_pred)
             for k, v in metrics.items():
                 acc.setdefault(k, []).append(float(v))
         out = {k: float(np.mean(v)) for k, v in acc.items()}
         step = int(state.step)
         if writer is not None:
             writer.scalars(step, out)
-            if vis is not None:
-                frames = np.asarray(vis)[0]  # [T, Y, X]
+            if last is not None:
+                pred = packing.unpack_np(last[1])
+                frames = np.abs(pred[0, 0])  # [T, Y, X]
                 strip = np.concatenate(list(frames[:8]), axis=1)
                 writer.image(step, "Validate/magnitude", strip)
+                self._log_videos(writer, step, *last)
         logger.info("validate step %d: %s", step,
                     {k: round(v, 5) for k, v in out.items()})
         return out

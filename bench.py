@@ -7,6 +7,18 @@ Baseline: the reference's only committed throughput number — ~1.0 it/s for
 exactly this workload on its CUDA GPU (reference nohup.out epoch lines;
 see BASELINE.md). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "it/s", "vs_baseline": N}
+
+BENCH_WORKLOAD selects the workload:
+  (default)  unrolled-ResNet train step          [the driver-recorded metric]
+  recon      unrolled-ResNet inference frames/s  (north-star metric)
+  swin       unrolled-Swin train step            (configs/config_swin.yaml)
+  dit        DiT DDPM_X diffusion train step     (configs/config_dit.yaml)
+  dslr       DSLR low-rank train step            (configs/config_dslr.yaml)
+
+Every mode also reports achieved TFLOP/s and MFU: FLOPs come from XLA's
+compiled cost analysis (fallback: absent on backends that don't expose it),
+peak is the v5e chip's 197 TFLOP/s (bf16/f32 MXU issue rate; convs here are
+f32, so MFU is conservative).
 """
 
 import json
@@ -20,6 +32,29 @@ BASELINE_IT_S = 1.0  # reference nohup.out: "Epoch 1: ... 1.00it/s"
 # reference validation/inference throughput: 2.85 it/s over cine slices of
 # ~20 frames (nohup.out "Validating: ... 2.85it/s") -> ~57 frames/s
 BASELINE_RECON_FPS = 2.85 * 20
+V5E_PEAK_FLOPS = 197e12  # TPU v5e MXU peak (bf16) per chip
+
+
+def _flops_per_call(jitted, *args):
+    """FLOPs estimate for one call from the compiled executable."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _emit(metric, value, unit, baseline=None, flops=None, dt_per_it=None):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": (round(value / baseline, 3) if baseline else None)}
+    if flops and dt_per_it:
+        tflops = flops / dt_per_it / 1e12
+        rec["tflops"] = round(tflops, 2)
+        rec["mfu"] = round(tflops * 1e12 / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(rec))
 
 
 def bench_recon():
@@ -87,12 +122,81 @@ def bench_recon():
         best = min(best, time.perf_counter() - t0)
 
     fps = iters * B * T / best
-    print(json.dumps({
-        "metric": "unrolled_resnet_recon_throughput",
-        "value": round(fps, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_RECON_FPS, 2),
-    }))
+    _emit("unrolled_resnet_recon_throughput", round(fps, 1), "frames/s",
+          baseline=BASELINE_RECON_FPS,
+          flops=_flops_per_call(recon, params, batch), dt_per_it=best / iters)
+
+
+def bench_trainer_workload(kind: str):
+    """Bench the REAL trainer train-step for swin / dit / dslr workloads on
+    the canonical cine slice, device-resident, min over repeats."""
+    import jax
+    import numpy as np
+
+    from dl_swin_gan_tpu.config import load_cfg
+    from dl_swin_gan_tpu.data.preprocess import CinePreprocess
+    from dl_swin_gan_tpu.data.synthetic import make_cine_example
+    from dl_swin_gan_tpu.parallel.mesh import shard_batch
+    from dl_swin_gan_tpu.train import packing
+
+    yaml = {"swin": "configs/config_swin.yaml",
+            "dit": "configs/config_dit.yaml",
+            "dslr": "configs/config_dslr.yaml"}[kind]
+    cfg = load_cfg(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                yaml), freeze=False)
+    cfg.MODEL.STRATEGY = "none"   # single-chip bench
+    cfg.OUTPUT_DIR = "/tmp/bench"
+    cfg.freeze()
+
+    T, Y, X, C, E = 20, 180, 64, 8, 2
+    if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" override for smoke tests
+        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+    B = int(os.environ.get("BENCH_BATCH", "1"))
+    pre = CinePreprocess(cfg, use_seed=True, lr_decom=(kind == "dslr"))
+    exs = []
+    for b in range(B):
+        k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=b)
+        exs.append(pre(k, m, t, f"bench_{b}"))
+    batch = {key: np.stack([e[key] for e in exs]) for key in exs[0]}
+
+    if kind == "dit":
+        from dl_swin_gan_tpu.train.diffusion_trainer import DiffusionTrainer
+        trainer = DiffusionTrainer(cfg)
+        batch = trainer.prepare_batch(batch)
+    elif kind == "dslr":
+        from dl_swin_gan_tpu.train.dslr_trainer import DSLRTrainer
+        trainer = DSLRTrainer(cfg)
+    else:
+        from dl_swin_gan_tpu.train.trainer import Trainer
+        trainer = Trainer(cfg)
+
+    state = trainer.init_state(batch)
+    trainer._build_steps()
+    packed = jax.tree.map(jax.device_put,
+                          shard_batch(packing.pack(batch), trainer.mesh))
+
+    def sync(metrics):
+        np.asarray(jax.tree.leaves(metrics)[0]).ravel()
+
+    flops = _flops_per_call(trainer._train_step, state, packed)
+    state, metrics = trainer._train_step(state, packed)  # compile
+    sync(metrics)
+    for _ in range(2):
+        state, metrics = trainer._train_step(state, packed)
+    sync(metrics)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    best = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = trainer._train_step(state, packed)
+        sync(metrics)  # chained donated state; one D2H read flushes all
+        best = min(best, time.perf_counter() - t0)
+
+    it_s = iters * B / best
+    _emit(f"unrolled_{kind}_train_throughput", round(it_s, 3), "it/s",
+          baseline=BASELINE_IT_S, flops=flops, dt_per_it=best / iters)
 
 
 def main():
@@ -183,16 +287,17 @@ def main():
     dt = best
 
     it_s = iters * B / dt
-    print(json.dumps({
-        "metric": "unrolled_resnet_train_throughput",
-        "value": round(it_s, 3),
-        "unit": "it/s",
-        "vs_baseline": round(it_s / BASELINE_IT_S, 3),
-    }))
+    _emit("unrolled_resnet_train_throughput", round(it_s, 3), "it/s",
+          baseline=BASELINE_IT_S, flops=_flops_per_call(step, params,
+                                                        opt_state, batch),
+          dt_per_it=dt / iters)
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_WORKLOAD") == "recon":
+    wl = os.environ.get("BENCH_WORKLOAD", "")
+    if wl == "recon":
         bench_recon()
+    elif wl in ("swin", "dit", "dslr"):
+        bench_trainer_workload(wl)
     else:
         main()

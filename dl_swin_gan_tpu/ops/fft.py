@@ -1,16 +1,73 @@
 """Centered / modulated N-D complex FFTs.
 
 TPU-native counterpart of the reference `dl_cs/mri/transforms.py:12-46` (FFT
-module) and `dl_cs/mri/utils.py:7-19` (fftmod). XLA lowers jnp.fft over the
-innermost axes directly onto the TPU FFT path, so we always transform the
-trailing `ndims` axes and keep the operator layout [..., t, y, x].
+module) and `dl_cs/mri/utils.py:7-19` (fftmod). Always transforms the
+trailing `ndims` axes, keeping the operator layout [..., t, y, x].
+
+Two lowering paths:
+  - "xla":    jnp.fft -> the TPU FFT path (VPU-bound).
+  - "matmul": explicit DFT matrices contracted on the MXU. The cine axes are
+    small (64-192), so the O(n^2) DFT-matmul costs ~n/log n more FLOPs than
+    the FFT but runs on the systolic array at a far higher issue rate, and
+    XLA can fuse the surrounding SENSE elementwise work into the matmuls.
+    Matrices are trace-time numpy constants per (n, direction, norm).
+
+DL_SWIN_GAN_FFT=xla|matmul selects the path (default "auto": matmul on TPU,
+xla on CPU/GPU). Precision: DL_SWIN_GAN_FFT_PRECISION=highest|default
+(default highest: full-f32 accumulate; "default" allows bf16 MXU passes).
 """
 
+import os
+from functools import lru_cache
+
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 
 def _fft_axes(ndims: int) -> tuple:
     return tuple(range(-ndims, 0))
+
+
+def _mode() -> str:
+    m = os.environ.get("DL_SWIN_GAN_FFT", "auto")
+    if m == "auto":
+        try:
+            return "matmul" if jax.default_backend() not in ("cpu", "gpu") \
+                else "xla"
+        except Exception:
+            return "xla"
+    return m
+
+
+def _precision():
+    if os.environ.get("DL_SWIN_GAN_FFT_PRECISION", "highest") == "default":
+        return None
+    return jax.lax.Precision.HIGHEST
+
+
+@lru_cache(maxsize=None)
+def _dft_mat(n: int, inverse: bool, norm: str) -> np.ndarray:
+    k = np.arange(n, dtype=np.float64)
+    sign = 2j if inverse else -2j
+    m = np.exp(sign * np.pi * np.outer(k, k) / n)
+    if norm == "ortho":
+        m /= np.sqrt(n)
+    elif inverse:
+        m /= n
+    return m.astype(np.complex64)
+
+
+def _dft_apply(data: jnp.ndarray, ndims: int, inverse: bool,
+               norm: str) -> jnp.ndarray:
+    prec = _precision()
+    for ax in range(-ndims, 0):
+        n = data.shape[ax]
+        mat = jnp.asarray(_dft_mat(n, inverse, norm))
+        moved = jnp.moveaxis(data, ax, -1)
+        out = jnp.einsum("...x,xk->...k", moved, mat, precision=prec)
+        data = jnp.moveaxis(out, -1, ax)
+    return data
 
 
 def fftc(data: jnp.ndarray, ndims: int = 2, norm: str = "ortho",
@@ -24,7 +81,10 @@ def fftc(data: jnp.ndarray, ndims: int = 2, norm: str = "ortho",
     axes = _fft_axes(ndims)
     if centered:
         data = jnp.fft.ifftshift(data, axes=axes)
-    data = jnp.fft.fftn(data, axes=axes, norm=norm)
+    if _mode() == "matmul":
+        data = _dft_apply(data, ndims, inverse=False, norm=norm)
+    else:
+        data = jnp.fft.fftn(data, axes=axes, norm=norm)
     if centered:
         data = jnp.fft.fftshift(data, axes=axes)
     return data
@@ -36,7 +96,10 @@ def ifftc(data: jnp.ndarray, ndims: int = 2, norm: str = "ortho",
     axes = _fft_axes(ndims)
     if centered:
         data = jnp.fft.ifftshift(data, axes=axes)
-    data = jnp.fft.ifftn(data, axes=axes, norm=norm)
+    if _mode() == "matmul":
+        data = _dft_apply(data, ndims, inverse=True, norm=norm)
+    else:
+        data = jnp.fft.ifftn(data, axes=axes, norm=norm)
     if centered:
         data = jnp.fft.fftshift(data, axes=axes)
     return data

@@ -24,6 +24,21 @@ def test_fft_roundtrip(make_complex):
     assert jnp.allclose(fft_centered(fft_centered(x), adjoint=True), x, atol=1e-5)
 
 
+def test_fft_matmul_path_matches_xla(make_complex, monkeypatch):
+    """The MXU DFT-matmul lowering is numerically the FFT (odd + even sizes,
+    both directions, centered and not)."""
+    from dl_swin_gan_tpu.ops import fft as F
+    x = jnp.asarray(make_complex((2, 3, 15, 22)))
+    monkeypatch.setenv("DL_SWIN_GAN_FFT", "xla")
+    ref_f = np.asarray(fftc(x))
+    ref_i = np.asarray(ifftc(x, centered=True))
+    monkeypatch.setenv("DL_SWIN_GAN_FFT", "matmul")
+    assert F._mode() == "matmul"
+    np.testing.assert_allclose(np.asarray(fftc(x)), ref_f, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ifftc(x, centered=True)), ref_i,
+                               atol=2e-5)
+
+
 def test_fft_ortho_norm(make_complex):
     x = jnp.asarray(make_complex((4, 16, 16)))
     # Parseval: ortho norm preserves energy

@@ -1,0 +1,113 @@
+"""Golden parity for the diffusion engine vs the reference
+`dl_cs/diffusion/gaussian_diffusion.py` (torch-only — loads without shims):
+schedule constants, q_sample, posterior, and p_mean_variance values."""
+
+import sys
+import warnings
+
+import numpy as np
+import pytest
+
+
+def _load_ref():
+    try:
+        sys.path.insert(0, "/root/reference")
+        import torch  # noqa: F401
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from dl_cs.diffusion import create_diffusion as ref_create
+        return ref_create
+    except Exception:
+        return None
+
+
+@pytest.mark.parametrize("sched", ["linear", "squaredcos_cap_v2"])
+def test_schedule_constants_match_reference(sched):
+    ref_create = _load_ref()
+    if ref_create is None:
+        pytest.skip("reference/torch unavailable")
+    from dl_swin_gan_tpu.diffusion import create_diffusion
+
+    ref = ref_create(timestep_respacing="", noise_schedule=sched,
+                     learn_sigma=False, diffusion_steps=1000)
+    ours = create_diffusion(timestep_respacing="", noise_schedule=sched,
+                            learn_sigma=False, diffusion_steps=1000)
+    for name in ("betas", "alphas_cumprod", "posterior_variance",
+                 "posterior_mean_coef1", "posterior_mean_coef2",
+                 "posterior_log_variance_clipped",
+                 "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ours, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-6, atol=1e-12, err_msg=f"{sched}/{name}")
+
+
+def test_q_sample_and_posterior_match_reference(rng):
+    ref_create = _load_ref()
+    if ref_create is None:
+        pytest.skip("reference/torch unavailable")
+    import torch
+    import jax.numpy as jnp
+    from dl_swin_gan_tpu.diffusion import create_diffusion
+
+    ref = ref_create(timestep_respacing="", noise_schedule="linear",
+                     learn_sigma=False, diffusion_steps=1000)
+    ours = create_diffusion(timestep_respacing="", noise_schedule="linear",
+                            learn_sigma=False, diffusion_steps=1000)
+
+    x0 = rng.standard_normal((2, 4, 6, 8)).astype(np.float32)
+    noise = rng.standard_normal(x0.shape).astype(np.float32)
+    xt = rng.standard_normal(x0.shape).astype(np.float32)
+    t = np.array([17, 801])
+
+    ref_q = ref.q_sample(torch.from_numpy(x0), torch.from_numpy(t),
+                         torch.from_numpy(noise)).numpy()
+    our_q = np.asarray(ours.q_sample(jnp.asarray(x0), jnp.asarray(t),
+                                     jnp.asarray(noise)))
+    np.testing.assert_allclose(our_q, ref_q, rtol=1e-5, atol=1e-6)
+
+    rm, rv, rlv = ref.q_posterior_mean_variance(
+        torch.from_numpy(x0), torch.from_numpy(xt), torch.from_numpy(t))
+    om, ov, olv = ours.q_posterior_mean_variance(
+        jnp.asarray(x0), jnp.asarray(xt), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(om), rm.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.broadcast_to(np.asarray(ov), rv.shape),
+                               rv.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.broadcast_to(np.asarray(olv), rlv.shape),
+                               rlv.numpy(), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("predict_xstart", [False, True])
+def test_p_mean_variance_matches_reference(rng, predict_xstart):
+    """Deterministic mock model (0.3x + 0.1): full reverse-step mean/variance
+    must agree (EPSILON and START_X parameterizations)."""
+    ref_create = _load_ref()
+    if ref_create is None:
+        pytest.skip("reference/torch unavailable")
+    import torch
+    import jax.numpy as jnp
+    from dl_swin_gan_tpu.diffusion import create_diffusion
+
+    ref = ref_create(timestep_respacing="", noise_schedule="linear",
+                     learn_sigma=False, predict_xstart=predict_xstart,
+                     diffusion_steps=1000)
+    ours = create_diffusion(timestep_respacing="", noise_schedule="linear",
+                            learn_sigma=False, predict_xstart=predict_xstart,
+                            diffusion_steps=1000)
+
+    x = rng.standard_normal((2, 4, 6, 8)).astype(np.float32)
+    t = np.array([3, 640])
+
+    ref_out = ref.p_mean_variance(
+        lambda v, tt: 0.3 * v + 0.1, torch.from_numpy(x),
+        torch.from_numpy(t), clip_denoised=False)
+    our_out = ours.p_mean_variance(
+        lambda v, tt: 0.3 * v + 0.1, jnp.asarray(x), jnp.asarray(t),
+        clip_denoised=False)
+    for k in ("mean", "pred_xstart"):
+        np.testing.assert_allclose(np.asarray(our_out[k]),
+                                   ref_out[k].numpy(), rtol=2e-5, atol=1e-5,
+                                   err_msg=k)
+    np.testing.assert_allclose(
+        np.broadcast_to(np.asarray(our_out["log_variance"]),
+                        ref_out["log_variance"].shape),
+        ref_out["log_variance"].numpy(), rtol=1e-5, atol=1e-6)

@@ -109,6 +109,35 @@ def _adjoint_bwd(res, g):
 sense_adjoint.defvjp(_adjoint_fwd, _adjoint_bwd)
 
 
+def _normal_fusable(x, maps, mask) -> bool:
+    return (x.ndim == 5 and maps.ndim == 6 and maps.shape[3] == 1
+            and (mask is None or (mask.ndim == 5 and mask.shape[1] == 1)))
+
+
+def _normal_impl(x, maps, mask):
+    """A^H W^2 A x — fused Pallas kernel when enabled, XLA chain otherwise.
+
+    The forward masks once and the adjoint masks again, so the fused kernel
+    applies w^2 in k-space (identical for binary masks, faithful for
+    arbitrary weights).
+    """
+    from dl_swin_gan_tpu.kernels.sense_normal import (
+        sense_normal_fused, use_pallas_sense,
+    )
+    if use_pallas_sense() and _normal_fusable(x, maps, mask):
+        B, E, T, Y, X = x.shape
+        m = maps[:, :, :, 0]  # [B, E, C, Y, X]
+        if mask is None:
+            w = jnp.ones((B, T, Y, X), jnp.float32)
+        else:
+            w = jnp.broadcast_to(mask[:, 0], (B, T, Y, X))
+            w = w * w
+        outr, outi = sense_normal_fused(jnp.real(x), jnp.imag(x),
+                                        jnp.real(m), jnp.imag(m), w)
+        return jax.lax.complex(outr, outi)
+    return _adjoint_impl(_forward_impl(x, maps, mask), maps, mask)
+
+
 @jax.custom_vjp
 def sense_normal(x: jnp.ndarray, maps: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -117,7 +146,7 @@ def sense_normal(x: jnp.ndarray, maps: jnp.ndarray,
     Self-adjoint, so its transpose is conj(N(conj(g))) — one extra normal-op
     application instead of XLA's slow auto-transposed chain.
     """
-    return _adjoint_impl(_forward_impl(x, maps, mask), maps, mask)
+    return _normal_impl(x, maps, mask)
 
 
 def _normal_fwd(x, maps, mask):
@@ -127,7 +156,7 @@ def _normal_fwd(x, maps, mask):
 def _normal_bwd(res, g):
     maps, mask = res
     gc = jnp.conj(g)
-    xbar = jnp.conj(_adjoint_impl(_forward_impl(gc, maps, mask), maps, mask))
+    xbar = jnp.conj(_normal_impl(gc, maps, mask))
     return xbar, jnp.zeros_like(maps), (None if mask is None
                                         else jnp.zeros_like(mask))
 

@@ -1,0 +1,120 @@
+"""Golden parity of the DSLR alt-min CG solver vs the reference
+`dl_cs/models/dslr.py` AltMinCGv1: SenseModel + block operator + CG over
+both factors + complex 2D/1D CNN updates, weight-copied end-to-end
+(reference scripts/train_lr.py hot path, SURVEY 3.4)."""
+
+import sys
+import warnings
+from types import SimpleNamespace as NS
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dl_swin_gan_tpu.ops.llr import BlockOp, decompose_init
+
+
+def _load_ref():
+    try:
+        sys.path.insert(0, "/root/reference")
+        import torch  # noqa: F401
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from dl_cs.models import dslr as ref_dslr
+            from dl_cs.mri import transforms as ref_transforms
+            from dl_cs.mri.lowrank import ArrayToBlocks
+        return ref_dslr, ref_transforms, ArrayToBlocks
+    except Exception:
+        return None
+
+
+def _ref_cfg(**p):
+    params = dict(NUM_UNROLLS=2, NUM_RESBLOCKS=1, NUM_FEATURES=8,
+                  NUM_EMAPS=1, SHARE_WEIGHTS=False, FIX_STEP_SIZE=False,
+                  GRAD_CHECKPOINT=False,
+                  DSLR=NS(BLOCK_SIZE=8, NUM_BASIS=3, NUM_CG_STEPS=4),
+                  CONV_BLOCK=NS(KERNEL_SIZE=[3], COMPLEX=True,
+                                CIRCULAR_PAD=True))
+    params.update(p)
+    return NS(MODEL=NS(PARAMETERS=NS(**params)))
+
+
+def _t2f(w, nd):
+    """torch conv weight [out, in, k...] -> flax [k..., in, out]."""
+    perm = tuple(range(2, 2 + nd)) + (1, 0)
+    return jnp.asarray(w.detach().numpy().transpose(perm))
+
+
+def _map_cblock(ref_block, flax_block, nd):
+    """Reference ConvBlock (complex) of a 2D/1D ResNet -> our ConvBlock."""
+    conv = ref_block.layers[2]
+    br = conv.conv_r.bias.detach().numpy()
+    bi = conv.conv_i.bias.detach().numpy()
+    flax_block["ComplexConv_0"]["kernel_re"] = _t2f(conv.conv_r.weight, nd)
+    flax_block["ComplexConv_0"]["kernel_im"] = _t2f(conv.conv_i.weight, nd)
+    flax_block["ComplexConv_0"]["bias_re"] = jnp.asarray(br - bi)
+    flax_block["ComplexConv_0"]["bias_im"] = jnp.asarray(br + bi)
+
+
+def _map_resnet(ref_net, flax_net, nd):
+    _map_cblock(ref_net.init_layer, flax_net["ConvBlock_0"], nd)
+    for j, rb in enumerate(ref_net.res_blocks):
+        blk = flax_net[f"GatedResBlock_{j}"]
+        _map_cblock(rb.layers[0], blk["ConvBlock_0"], nd)
+        _map_cblock(rb.layers[1], blk["ConvBlock_1"], nd)
+    _map_cblock(ref_net.final_layer, flax_net["ConvBlock_1"], nd)
+
+
+def test_dslr_cgv1_full_stack_matches_reference(make_complex, rng):
+    loaded = _load_ref()
+    if loaded is None:
+        pytest.skip("reference/torch unavailable")
+    ref_dslr, ref_transforms, ArrayToBlocks = loaded
+    import torch
+
+    from dl_swin_gan_tpu.solvers.dslr import UnrolledLR
+
+    B, E, C, T, Y, X = 1, 1, 3, 4, 20, 16
+    unrolls, basis, block = 2, 3, 8
+    shape = (B, E, T, Y, X)
+
+    y = make_complex((B, C, T, Y, X))
+    maps = make_complex((B, E, C, 1, Y, X))
+    mask = (rng.rand(B, 1, T, Y, X) < 0.5).astype(np.float32)
+    y = (y * mask).astype(np.complex64)
+
+    init = np.asarray(make_complex(shape))
+    L0, R0 = decompose_init(init, block_size=block, rank=basis)
+
+    torch.manual_seed(13)
+    ref = ref_dslr.AltMinCGv1(_ref_cfg()).eval()
+
+    solver = UnrolledLR(mode="dslr-cg-v1", num_unrolls=unrolls,
+                        num_resblocks=1, num_features=8, num_emaps=E,
+                        num_basis=basis, block_size=block, num_cg_steps=4,
+                        use_complex_layers=True, circular_pad=True)
+    block_op = BlockOp(block, shape, xp=jnp)
+    params = solver.init(jax.random.PRNGKey(0), jnp.asarray(y),
+                         jnp.asarray(maps), jnp.asarray(mask),
+                         jnp.asarray(L0), jnp.asarray(R0),
+                         block_op)["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    for i in range(unrolls):
+        _map_resnet(ref.spatial_cnn_update[i], params[f"ResNet2D_{i}"], 2)
+        _map_resnet(ref.temporal_cnn_update[i], params[f"ResNet1D_{i}"], 1)
+
+    with torch.no_grad():
+        A = ref_transforms.SenseModel(torch.from_numpy(maps),
+                                      weights=torch.from_numpy(mask))
+        ref_block_op = ArrayToBlocks(block, list(shape), overlapping=True)
+        ref_out = ref(torch.from_numpy(y), A, ref_block_op,
+                      torch.from_numpy(L0.copy()),
+                      torch.from_numpy(R0.copy())).numpy()
+
+    out = np.asarray(solver.apply({"params": params}, jnp.asarray(y),
+                                  jnp.asarray(maps), jnp.asarray(mask),
+                                  jnp.asarray(L0), jnp.asarray(R0),
+                                  block_op))
+    np.testing.assert_allclose(out, ref_out, rtol=5e-3, atol=5e-4)

@@ -141,6 +141,10 @@ def make_defaults() -> CN:
     # ----- eval / logging
     _C.EVAL = CN()
     _C.EVAL.RUN_EVERY_N_EPOCHS = 1
+    # step-based checkpointing independent of validation (0 = off). Lets
+    # long runs bank progress on flaky workers without paying the val-step
+    # compile (observed crash trigger on the shared pool's DSLR runs).
+    _C.EVAL.CKPT_EVERY_N_STEPS = 0
 
     _C.LOGGER = CN()
     _C.LOGGER.LOG_METRICS_EVERY_N_STEPS = 50

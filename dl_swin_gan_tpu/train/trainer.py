@@ -308,6 +308,9 @@ class Trainer:
                                 step, self.loss_name,
                                 m[f"Train/{self.loss_name}"],
                                 m["Train/steps_per_sec"])
+                ckpt_steps = cfg.EVAL.CKPT_EVERY_N_STEPS
+                if ckpt_steps and step % ckpt_steps == 0:
+                    ckpt.save(step, state)
 
             if val_loader and (epoch + 1) % cfg.EVAL.RUN_EVERY_N_EPOCHS == 0:
                 val_metrics = self.validate(state, val_loader, writer)

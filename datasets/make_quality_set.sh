@@ -1,0 +1,13 @@
+#!/bin/bash
+# Recipe for the synthetic cine "quality set" used by every row of the
+# README quality table and by configs/quality/*.yaml. Deterministic
+# (seeded); regenerate after any disk wipe with:
+#   bash datasets/make_quality_set.sh
+# Shape: 18 phases x 156 ky x 96 kx, 8 coils, 2 emaps, 4 slices/file,
+# 8 train / 2 val / 2 test files, k-space noise 0.002.
+set -e
+cd "$(dirname "$0")/.."
+python datasets/prepare_synthetic.py --out runs/quality/data \
+    --train-files 8 --val-files 2 --test-files 2 --slices 4 \
+    --phases 18 --ny 156 --nx 96 --coils 8 --emaps 2 \
+    --noise 0.002 --seed 0

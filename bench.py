@@ -13,6 +13,7 @@ BENCH_WORKLOAD selects the workload:
   recon      unrolled-ResNet inference frames/s  (north-star metric)
   swin       unrolled-Swin train step            (configs/config_swin.yaml)
   dit        DiT DDPM_X diffusion train step     (configs/config_dit.yaml)
+  latte      Latte DDPM_X diffusion train step   (configs/config_latte.yaml)
   dslr       DSLR low-rank train step            (configs/config_dslr.yaml)
 
 Every mode also reports achieved TFLOP/s and MFU: FLOPs come from XLA's
@@ -141,6 +142,7 @@ def bench_trainer_workload(kind: str):
 
     yaml = {"swin": "configs/config_swin.yaml",
             "dit": "configs/config_dit.yaml",
+            "latte": "configs/config_latte.yaml",
             "dslr": "configs/config_dslr.yaml"}[kind]
     cfg = load_cfg(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 yaml), freeze=False)
@@ -159,7 +161,7 @@ def bench_trainer_workload(kind: str):
         exs.append(pre(k, m, t, f"bench_{b}"))
     batch = {key: np.stack([e[key] for e in exs]) for key in exs[0]}
 
-    if kind == "dit":
+    if kind in ("dit", "latte"):
         from dl_swin_gan_tpu.train.diffusion_trainer import DiffusionTrainer
         trainer = DiffusionTrainer(cfg)
         batch = trainer.prepare_batch(batch)
@@ -297,7 +299,7 @@ if __name__ == "__main__":
     wl = os.environ.get("BENCH_WORKLOAD", "")
     if wl == "recon":
         bench_recon()
-    elif wl in ("swin", "dit", "dslr"):
+    elif wl in ("swin", "dit", "latte", "dslr"):
         bench_trainer_workload(wl)
     else:
         main()

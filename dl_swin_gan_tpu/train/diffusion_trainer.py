@@ -262,14 +262,19 @@ class DiffusionTrainer:
         writer = MetricsWriter(cfg.OUTPUT_DIR)
         ckpt = CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "checkpoints"),
                                  monitor="Validate MSE")
+        start_epoch = 0
         if resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)
-            logger.info("resumed from step %d", int(state.step))
+            # restore the epoch clock (see Trainer.fit): keeps MAX_EPOCHS /
+            # RUN_EVERY_N_EPOCHS meaningful across crash-resumes
+            start_epoch = int(state.step) // max(1, len(train_loader))
+            logger.info("resumed from step %d (epoch %d)", int(state.step),
+                        start_epoch)
 
         log_every = cfg.LOGGER.LOG_METRICS_EVERY_N_STEPS
         pred_every = cfg.LOGGER.LOG_PREDICTION_EVERY_N_STEPS
         t0, n0 = time.perf_counter(), 0
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             for batch in train_loader:
                 packed = shard_batch(
                     packing.pack(self.prepare_batch(batch)), self.mesh)

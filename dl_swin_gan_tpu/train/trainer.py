@@ -256,9 +256,15 @@ class Trainer:
         writer = MetricsWriter(cfg.OUTPUT_DIR)
         ckpt = CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "checkpoints"),
                                  monitor=f"Validate/{self.loss_name}")
+        start_epoch = 0
         if resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)
-            logger.info("resumed from step %d", int(state.step))
+            # restore the epoch clock too, so MAX_EPOCHS / RUN_EVERY_N_EPOCHS
+            # keep their meaning across crash-resumes (torch Lightning
+            # restores current_epoch; we derive it from the step counter)
+            start_epoch = int(state.step) // max(1, self.steps_per_epoch)
+            logger.info("resumed from step %d (epoch %d)", int(state.step),
+                        start_epoch)
 
         log_every = cfg.LOGGER.LOG_METRICS_EVERY_N_STEPS
         img_every = cfg.LOGGER.LOG_IMAGES_EVERY_N_STEPS
@@ -285,7 +291,7 @@ class Trainer:
                 yield cur
             yield nxt
 
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             for packed in device_batches(train_loader):
                 state, metrics = self._train_step(state, packed)
                 steps_done += 1

@@ -58,10 +58,15 @@ def test_fit_checkpoints_and_resumes(tiny_cfg):
                     if "Train/complex_l1" in r]
     assert train_losses[-1] < train_losses[0]
 
-    # resume continues from the saved step
+    # resume restores the epoch clock: max_epochs is a TOTAL (Lightning
+    # semantics), so resuming a 2-epoch run with max_epochs=3 runs exactly
+    # one more epoch, and resuming with max_epochs=2 runs none
     trainer2 = Trainer(tiny_cfg)
-    state2 = trainer2.fit(max_epochs=1, resume=True)
+    state2 = trainer2.fit(max_epochs=3, resume=True)
     assert int(state2.step) == 6
+    trainer3 = Trainer(tiny_cfg)
+    state3 = trainer3.fit(max_epochs=2, resume=True)
+    assert int(state3.step) == 6
 
 
 def test_reconstruct_h5_roundtrip(tiny_cfg, tmp_path):

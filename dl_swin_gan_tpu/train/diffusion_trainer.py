@@ -295,6 +295,11 @@ class DiffusionTrainer:
                     logger.info("epoch %d step %d MSE=%.5f (%.2f it/s)",
                                 epoch, step, m["Train MSE"],
                                 m["Train/steps_per_sec"])
+                # step-based checkpointing decoupled from validation (see
+                # Trainer.fit): banks progress on preemptible/flaky pools
+                ckpt_steps = cfg.EVAL.CKPT_EVERY_N_STEPS
+                if ckpt_steps and step % ckpt_steps == 0:
+                    ckpt.save(step, state)
 
             if val_loader and (epoch + 1) % cfg.EVAL.RUN_EVERY_N_EPOCHS == 0:
                 val = self.validate(state, val_loader, writer)

@@ -115,7 +115,7 @@ def bench_recon():
     sync(out)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     best = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "6"))):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = recon(params, batch)
@@ -189,7 +189,7 @@ def bench_trainer_workload(kind: str):
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     best = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "6"))):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = trainer._train_step(state, packed)
@@ -278,7 +278,7 @@ def main():
     sync(params)
 
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "6"))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

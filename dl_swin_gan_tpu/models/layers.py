@@ -99,14 +99,17 @@ class ComplexConv(nn.Module):
 
         xr = jnp.concatenate([x.real, x.imag], axis=-1)
         ndim = len(self.kernel_size)
+        # conv fully in self.dtype, upcast after (flax nn.Conv semantics):
+        # a float32 preferred_element_type here breaks the VJP (f32 cotangent
+        # vs bf16 kernel in the transpose conv); the TPU MXU accumulates in
+        # f32 regardless, only the output rounds through self.dtype
         out = jax.lax.conv_general_dilated(
             xr.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1,) * ndim,
             padding="SAME",
             dimension_numbers=nn.linear._conv_dimension_numbers(xr.shape),
-            preferred_element_type=jnp.float32,
         )
-        out = out + jnp.concatenate([br, bi])
+        out = out.astype(jnp.float32) + jnp.concatenate([br, bi])
         return jax.lax.complex(out[..., :cout], out[..., cout:])
 
 

@@ -127,12 +127,22 @@ def main():
         os.environ.pop("DL_SWIN_GAN_FFT", None)
 
     results = {name: float("inf") for name in built}
+    failed = set()
     for round_i in range(2):  # interleave variants across rounds
         for name, (step, params, opt, batch) in built.items():
+            if name in failed:
+                continue
             if name == "fft-xla":
                 os.environ["DL_SWIN_GAN_FFT"] = "xla"
-            dt, params, opt = measure(step, params, opt, batch)
-            os.environ.pop("DL_SWIN_GAN_FFT", None)
+            try:
+                dt, params, opt = measure(step, params, opt, batch)
+            except Exception as e:  # a variant that OOMs/fails to compile
+                failed.add(name)    # must not kill the whole probe
+                print(f"[round {round_i}] {name:24s} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            finally:
+                os.environ.pop("DL_SWIN_GAN_FFT", None)
             built[name] = (step, params, opt, batch)
             results[name] = min(results[name], dt)
             print(f"[round {round_i}] {name:24s} {dt*1e3:8.2f} ms/it "
@@ -141,7 +151,10 @@ def main():
     print("\nbest:")
     base = results["baseline(complex,f32)"]
     for name, dt in sorted(results.items(), key=lambda kv: kv[1]):
-        print(f"  {name:24s} {dt*1e3:8.2f} ms/it  {base/dt:5.2f}x vs baseline")
+        if dt == float("inf"):
+            print(f"  {name:24s} (failed)")
+        else:
+            print(f"  {name:24s} {dt*1e3:8.2f} ms/it  {base/dt:5.2f}x vs baseline")
 
 
 if __name__ == "__main__":

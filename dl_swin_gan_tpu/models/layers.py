@@ -15,9 +15,30 @@ single large MXU op instead of four small ones.
 
 from typing import Any, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+# torch nn.Conv*/nn.Linear default init twins: the reference trains its conv
+# trunk with torch defaults — kaiming_uniform_(a=sqrt(5)) on the weight,
+# i.e. U(+-sqrt(1/fan_in)) with variance 1/(3*fan_in), and the bias drawn
+# U(+-1/sqrt(fan_in)). flax's lecun_normal/zeros defaults have a 3x larger
+# weight variance and zero biases; matching the reference's init
+# distribution is part of training parity (SURVEY §7 hard parts).
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """U(+-1/sqrt(fan_in)) — torch's conv/linear bias default."""
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def to_channels_last(x: jnp.ndarray) -> jnp.ndarray:
@@ -75,9 +96,11 @@ class ComplexConv(nn.Module):
     Reference `ComplexConv3d` (`resnet3d.py:75-106`). Input/output are
     complex channels-last arrays; internally the real/imag features are
     concatenated and convolved with kernel [[X, Y], [-Y, X]] so the whole
-    complex product is a single MXU contraction. `dtype` selects the MXU
-    compute precision (bfloat16 doubles v5e throughput); params and
-    accumulation stay float32.
+    complex product is a single MXU contraction. `dtype` selects the conv
+    compute element type (flax nn.Conv semantics: inputs/kernel are cast to
+    `dtype`, so bfloat16 rounds before the conv and the output upcasts back
+    to float32 afterwards; only the TPU MXU's internal accumulator is f32 —
+    other backends may accumulate in bf16). Params stay float32.
     """
     features: int
     kernel_size: Tuple[int, ...]
@@ -87,10 +110,11 @@ class ComplexConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cin, cout = x.shape[-1], self.features
         kshape = tuple(self.kernel_size) + (cin, cout)
-        kx = self.param("kernel_re", nn.initializers.lecun_normal(), kshape)
-        ky = self.param("kernel_im", nn.initializers.lecun_normal(), kshape)
-        br = self.param("bias_re", nn.initializers.zeros, (cout,))
-        bi = self.param("bias_im", nn.initializers.zeros, (cout,))
+        fan_in = cin * int(np.prod(self.kernel_size))
+        kx = self.param("kernel_re", torch_kernel_init, kshape)
+        ky = self.param("kernel_im", torch_kernel_init, kshape)
+        br = self.param("bias_re", torch_bias_init(fan_in), (cout,))
+        bi = self.param("bias_im", torch_bias_init(fan_in), (cout,))
 
         # block kernel over stacked [re, im] features
         top = jnp.concatenate([kx, ky], axis=-1)     # produces [re_out, im_out] from re_in
@@ -121,8 +145,10 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = x.shape[-1] * int(np.prod(self.kernel_size))
         out = nn.Conv(self.features, self.kernel_size, padding="SAME",
-                      dtype=self.dtype)(x)
+                      dtype=self.dtype, kernel_init=torch_kernel_init,
+                      bias_init=torch_bias_init(fan_in))(x)
         return out.astype(jnp.float32)
 
 

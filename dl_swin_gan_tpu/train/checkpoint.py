@@ -28,6 +28,16 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
+        if step in self._mgr.all_steps():
+            # orbax silently no-ops a duplicate-step save. A metric-less
+            # step-interval save colliding with the end-of-epoch validation
+            # save would otherwise swallow the metrics and lose best-by-
+            # monitor retention (Lightning save_top_k=1 parity): replace the
+            # banked step with the metric-bearing one. A metric-less re-save
+            # of an existing step really is a no-op (same state) — skip it.
+            if metrics is None:
+                return
+            self._mgr.delete(step)
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
         self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
         self._mgr.wait_until_finished()

@@ -221,6 +221,16 @@ class Trainer:
         self._val_step = jax.jit(val_step)
 
     # -- the loop --------------------------------------------------------------
+    # DSLRTrainer overrides (needs host-side L/R SVD init)
+    supports_device_pipeline = True
+
+    def _use_device_pipeline(self) -> bool:
+        import numpy as _np
+        return (bool(self.cfg.DATALOADER.DEVICE_PIPELINE)
+                and self.supports_device_pipeline
+                and self.cfg.DATALOADER.TRAIN_BATCH_SIZE == 1
+                and int(_np.prod(list(self.mesh.devices.shape))) == 1)
+
     def fit(self, train_dir: Optional[str] = None, val_dir: Optional[str] = None,
             max_epochs: Optional[int] = None, resume: bool = False) -> TrainState:
         cfg = self.cfg
@@ -228,13 +238,21 @@ class Trainer:
         val_dir = val_dir or (cfg.DATASET.VAL[0] if cfg.DATASET.VAL else None)
         max_epochs = max_epochs or cfg.OPTIMIZER.MAX_EPOCHS
 
-        train_data = Hdf5Dataset(train_dir, self.make_preprocess(use_seed=False),
-                                 sample_rate=cfg.DATALOADER.SUBSAMPLE)
-        train_loader = DataLoader(train_data,
-                                  batch_size=cfg.DATALOADER.TRAIN_BATCH_SIZE,
-                                  num_workers=cfg.DATALOADER.NUM_WORKERS,
-                                  prefetch=cfg.DATALOADER.PREFETCH,
-                                  shuffle=True, seed=cfg.SEED)
+        use_dp = self._use_device_pipeline()
+        if use_dp:
+            from dl_swin_gan_tpu.data.device_pipeline import DevicePipelineLoader
+            train_loader = DevicePipelineLoader(
+                train_dir, cfg, use_seed=False, shuffle=True, seed=cfg.SEED,
+                sample_rate=cfg.DATALOADER.SUBSAMPLE)
+        else:
+            train_data = Hdf5Dataset(
+                train_dir, self.make_preprocess(use_seed=False),
+                sample_rate=cfg.DATALOADER.SUBSAMPLE)
+            train_loader = DataLoader(train_data,
+                                      batch_size=cfg.DATALOADER.TRAIN_BATCH_SIZE,
+                                      num_workers=cfg.DATALOADER.NUM_WORKERS,
+                                      prefetch=cfg.DATALOADER.PREFETCH,
+                                      shuffle=True, seed=cfg.SEED)
         val_loader = None
         if val_dir:
             val_data = Hdf5Dataset(
@@ -249,7 +267,8 @@ class Trainer:
         # (the __init__ hint defaults to 1, which would decay per step).
         self.set_steps_per_epoch(len(train_loader))
 
-        sample = next(iter(train_loader))
+        sample = (train_loader.host_sample() if use_dp
+                  else next(iter(train_loader)))
         state = self.init_state(sample)
         self._build_steps()
 
@@ -261,7 +280,11 @@ class Trainer:
             state = ckpt.restore(state)
             # restore the epoch clock too, so MAX_EPOCHS / RUN_EVERY_N_EPOCHS
             # keep their meaning across crash-resumes (torch Lightning
-            # restores current_epoch; we derive it from the step counter)
+            # restores current_epoch; we derive it from the step counter).
+            # Mid-epoch checkpoints floor to the epoch start, so the partial
+            # epoch replays and the run can overshoot MAX_EPOCHS*steps_per_
+            # epoch by up to one epoch of steps — accepted crash-resume
+            # semantics (replayed batches are reshuffled, not repeated).
             start_epoch = int(state.step) // max(1, self.steps_per_epoch)
             logger.info("resumed from step %d (epoch %d)", int(state.step),
                         start_epoch)
@@ -292,7 +315,9 @@ class Trainer:
             yield nxt
 
         for epoch in range(start_epoch, max_epochs):
-            for packed in device_batches(train_loader):
+            # DevicePipelineLoader already yields packed device batches
+            for packed in (train_loader if use_dp
+                           else device_batches(train_loader)):
                 state, metrics = self._train_step(state, packed)
                 steps_done += 1
                 step = int(state.step)

@@ -153,6 +153,9 @@ def main():
     for name, dt in sorted(results.items(), key=lambda kv: kv[1]):
         if dt == float("inf"):
             print(f"  {name:24s} (failed)")
+        elif base == float("inf"):
+            # baseline itself failed to compile: ratios are meaningless
+            print(f"  {name:24s} {dt*1e3:8.2f} ms/it")
         else:
             print(f"  {name:24s} {dt*1e3:8.2f} ms/it  {base/dt:5.2f}x vs baseline")
 

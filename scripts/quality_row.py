@@ -50,6 +50,8 @@ def main(argv=None):
     parser.add_argument("--sample-steps", type=int, default=100)
     parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
     args = parser.parse_args(argv)
+    if args.kind != "zerofilled" and not args.ckpt:
+        parser.error(f"--ckpt is required for --kind {args.kind}")
 
     import h5py
 

@@ -150,3 +150,26 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(out))
+
+
+def test_checkpoint_duplicate_step_keeps_metrics(tmp_path):
+    """A metric-less step-interval save followed by a metric-bearing
+    validation save at the SAME step must not lose the metrics (orbax
+    no-ops duplicate-step saves; the manager replaces the banked step).
+    Regression test: CKPT_EVERY_N_STEPS colliding with end-of-epoch
+    validation previously defeated best-by-monitor retention."""
+    from dl_swin_gan_tpu.train.checkpoint import CheckpointManager
+
+    state = {"w": np.arange(4, dtype=np.float32)}
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="Validate MSE",
+                            max_to_keep=1)
+    mgr.save(8, state)                                   # step-interval save
+    mgr.save(8, state, metrics={"Validate MSE": 0.5})    # validation, same step
+    assert mgr.best_step() == 8
+    mgr.save(16, state, metrics={"Validate MSE": 0.9})   # worse -> best stays 8
+    assert mgr.best_step() == 8
+    mgr.save(16, state)                                  # metric-less re-save: no-op
+    assert mgr.best_step() == 8
+    restored = mgr.restore({"w": np.zeros(4, np.float32)}, step=mgr.best_step())
+    np.testing.assert_array_equal(restored["w"], state["w"])
+    mgr.close()

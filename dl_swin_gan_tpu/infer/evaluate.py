@@ -47,6 +47,59 @@ def ssim2d(ref: np.ndarray, img: np.ndarray, data_range: Optional[float] = None,
     return ssim_map.mean()
 
 
+def _gaussian_window_ref(ksize, std) -> np.ndarray:
+    """Max-normalized separable Gaussian window — twin of reference
+    `gaus_2d` (evaluate.py:19-24, scipy.signal.windows.gaussian outer
+    product divided by its max)."""
+    def g1(M, s):
+        n = np.arange(M) - (M - 1) / 2.0
+        return np.exp(-(n ** 2) / (2.0 * s ** 2))
+    w = np.outer(g1(ksize[1], std), g1(ksize[0], std)).T
+    return w / w.max()
+
+
+def ssim_ref_windowed(recon: np.ndarray, ref: np.ndarray,
+                      ksize=(5, 5), win_std: Optional[float] = None,
+                      full: bool = False):
+    """Exact numpy twin of the reference's hand-rolled windowed SSIM map
+    (`evaluate.py:49-66` loop path, the variant stored in its results file
+    at `evaluate.py:190-192`): each (unit-peak Gaussian)-weighted sliding
+    window contributes ((2·u1·u2+c1)(2·cov+c2)) / ((u1²+u2²+c1)(v1+v2+c2))
+    with c1=(0.3·L)², c2=(0.1·L)², L = recon.max()-recon.min() over the
+    WHOLE image, and SAMPLE (ddof=1) covariance — np.cov's default, despite
+    the reference's "df = 0" comment. The map covers positions
+    [0, nx-k0) x [0, ny-k1) (the reference's loop bounds drop the final
+    valid window). Vectorized via correlations; parity vs the executed
+    reference source is asserted in tests/test_ssim_oracle.py.
+    """
+    recon = np.asarray(recon, np.float64)
+    ref = np.asarray(ref, np.float64)
+    k0, k1 = ksize
+    if win_std is None:
+        win_std = max(k0, k1) / 2.0   # reference main: win_std = max(ksize)/2
+    w = _gaussian_window_ref((k0, k1), win_std)
+    N = float(k0 * k1)
+    L = recon.max() - recon.min()
+    c1, c2 = (0.3 * L) ** 2, (0.1 * L) ** 2
+
+    from numpy.lib.stride_tricks import sliding_window_view
+    # windows of the w-multiplied images (the reference multiplies the
+    # raveled window by the raveled weight, then takes plain statistics)
+    w1 = sliding_window_view(recon, (k0, k1))[:-1, :-1] * w
+    w2 = sliding_window_view(ref, (k0, k1))[:-1, :-1] * w
+    u1 = w1.mean(axis=(-2, -1))
+    u2 = w2.mean(axis=(-2, -1))
+    # sample covariance/variance: sum(ab) - N*u_a*u_b, over N-1
+    cov = ((w1 * w2).sum(axis=(-2, -1)) - N * u1 * u2) / (N - 1)
+    v1 = ((w1 * w1).sum(axis=(-2, -1)) - N * u1 * u1) / (N - 1)
+    v2 = ((w2 * w2).sum(axis=(-2, -1)) - N * u2 * u2) / (N - 1)
+    ssim_map = ((2 * u1 * u2 + c1) * (2 * cov + c2)) / (
+        (u1 ** 2 + u2 ** 2 + c1) * (v1 + v2 + c2))
+    if full:
+        return ssim_map.mean(), ssim_map
+    return ssim_map.mean()
+
+
 def rmse(ref: np.ndarray, img: np.ndarray) -> float:
     return float(np.sqrt(np.mean(np.abs(ref - img) ** 2)))
 

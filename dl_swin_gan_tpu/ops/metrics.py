@@ -11,12 +11,18 @@ import jax.numpy as jnp
 def calc_weight(ref: jnp.ndarray) -> jnp.ndarray:
     """Through-time standard-deviation weighting (`metrics.py:11-17`).
 
-    ref: [N, C, T, Y, X]; returns the per-pixel temporal std broadcast over T.
-    torch.std defaults to the unbiased (ddof=1) estimator — matched here.
-    """
+    ref: [N, C, T, Y, X]. torch.std defaults to the unbiased (ddof=1)
+    estimator — matched here. Reference quirk replicated deliberately: its
+    `repeat_interleave(std, nt, dim=2)` runs on the POST-reduction dim 2
+    (which is Y, since T was reduced away), and the subsequent reshape to
+    ref.shape scrambles the map to W[..., t, y, x] = std[..., (t*Y+y)//T, x]
+    rather than a clean broadcast of the temporal std over T. Training with
+    LOSS_WEIGHT only matches the reference through this exact mapping
+    (tests/test_train_trajectory_parity.py)."""
     nt = ref.shape[2]
     std = jnp.abs(jnp.std(ref, axis=2, ddof=1))  # [N, C, Y, X]
-    return jnp.repeat(std[:, :, None], nt, axis=2)
+    rep = jnp.repeat(std, nt, axis=2)            # repeat_interleave over Y
+    return rep.reshape(ref.shape)
 
 
 def _weight(ref: jnp.ndarray, weight: bool) -> jnp.ndarray:

@@ -216,8 +216,16 @@ def test_metrics_basic(make_complex):
 
 
 def test_calc_weight_matches_unbiased_std(make_complex):
+    """Unbiased temporal std, mapped through the reference's scrambled
+    repeat_interleave-then-reshape quirk (see ops/metrics.py:calc_weight):
+    W[..., t, y, x] = std[..., (t*Y + y) // T, x]."""
     ref = np.asarray(make_complex((1, 2, 5, 4, 4)))
     W = np.asarray(M.calc_weight(jnp.asarray(ref)))
-    expected = np.abs(np.std(ref, axis=2, ddof=1))
-    np.testing.assert_allclose(W[:, :, 0], expected, rtol=1e-4)
+    std = np.abs(np.std(ref, axis=2, ddof=1))
+    T_, Y_ = ref.shape[2], ref.shape[3]
+    expected = np.empty_like(W)
+    for t in range(T_):
+        for y in range(Y_):
+            expected[:, :, t, y] = std[:, :, (t * Y_ + y) // T_]
+    np.testing.assert_allclose(W, expected, rtol=1e-5)
     assert W.shape == ref.shape

@@ -31,7 +31,7 @@ from flax import linen as nn
 
 from dl_swin_gan_tpu.models.layers import (
     ComplexConv, Conv, ConvBlock, activation, circular_pad_time, crop_time,
-    to_channels_last, to_solver_layout,
+    to_channels_last, to_solver_layout, torch_bias_init, torch_kernel_init,
 )
 
 
@@ -50,8 +50,12 @@ class ChannelGate(nn.Module):
     def __call__(self, x):
         # x channels-last [N, *spatial, C] -> pooled [N, C]
         pooled = x.mean(axis=tuple(range(1, x.ndim - 1)))
-        fc1 = nn.Dense(self.reduction)
-        fc2 = nn.Dense(x.shape[-1])
+        # torch nn.Linear default init (the reference's SeBlock FCs)
+        C = x.shape[-1]
+        fc1 = nn.Dense(self.reduction, kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(C))
+        fc2 = nn.Dense(C, kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(self.reduction))
         g = _split_apply(fc1, pooled)
         g = _split_apply(jax.nn.relu, g)
         g = _split_apply(fc2, g)

@@ -101,6 +101,11 @@ def make_defaults() -> CN:
     _C.DATALOADER.NUM_WORKERS = 4
     _C.DATALOADER.SUBSAMPLE = 1.0
     _C.DATALOADER.PREFETCH = 2             # TPU addition: device prefetch depth
+    # TPU addition: device-resident input pipeline — raw kspace/maps upload
+    # once, per-step only the VDkt mask crosses the host->device link, and
+    # the augment/SENSE/normalize physics runs on device (bs=1, single chip;
+    # see data/device_pipeline.py). Decisive when the host link is slow.
+    _C.DATALOADER.DEVICE_PIPELINE = False
 
     # ----- augmentation / undersampling
     def aug_node():

@@ -235,13 +235,24 @@ class DiffusionTrainer:
         val_dir = val_dir or (cfg.DATASET.VAL[0] if cfg.DATASET.VAL else None)
         max_epochs = max_epochs or cfg.OPTIMIZER.MAX_EPOCHS
 
-        train_data = Hdf5Dataset(train_dir, CinePreprocess(cfg, use_seed=False),
-                                 sample_rate=cfg.DATALOADER.SUBSAMPLE)
-        train_loader = DataLoader(train_data,
-                                  batch_size=cfg.DATALOADER.TRAIN_BATCH_SIZE,
-                                  num_workers=cfg.DATALOADER.NUM_WORKERS,
-                                  prefetch=cfg.DATALOADER.PREFETCH,
-                                  shuffle=True, seed=cfg.SEED)
+        import numpy as _np
+        use_dp = (bool(cfg.DATALOADER.DEVICE_PIPELINE)
+                  and cfg.DATALOADER.TRAIN_BATCH_SIZE == 1
+                  and int(_np.prod(list(self.mesh.devices.shape))) == 1)
+        if use_dp:
+            from dl_swin_gan_tpu.data.device_pipeline import DevicePipelineLoader
+            train_loader = DevicePipelineLoader(
+                train_dir, cfg, use_seed=False, diffusion=True, shuffle=True,
+                seed=cfg.SEED, sample_rate=cfg.DATALOADER.SUBSAMPLE)
+        else:
+            train_data = Hdf5Dataset(train_dir,
+                                     CinePreprocess(cfg, use_seed=False),
+                                     sample_rate=cfg.DATALOADER.SUBSAMPLE)
+            train_loader = DataLoader(train_data,
+                                      batch_size=cfg.DATALOADER.TRAIN_BATCH_SIZE,
+                                      num_workers=cfg.DATALOADER.NUM_WORKERS,
+                                      prefetch=cfg.DATALOADER.PREFETCH,
+                                      shuffle=True, seed=cfg.SEED)
         val_loader = None
         if val_dir:
             val_data = Hdf5Dataset(
@@ -255,7 +266,8 @@ class DiffusionTrainer:
         self.steps_per_epoch = max(1, len(train_loader))
         self.tx = make_optimizer(cfg, steps_per_epoch=self.steps_per_epoch)
 
-        sample = next(iter(train_loader))
+        sample = (train_loader.host_sample() if use_dp
+                  else next(iter(train_loader)))
         state = self.init_state(sample)
         self._build_steps()
 
@@ -276,15 +288,23 @@ class DiffusionTrainer:
         t0, n0 = time.perf_counter(), 0
         for epoch in range(start_epoch, max_epochs):
             for batch in train_loader:
-                packed = shard_batch(
-                    packing.pack(self.prepare_batch(batch)), self.mesh)
+                if use_dp:  # already a packed, device-resident batch
+                    packed = batch
+                else:
+                    packed = shard_batch(
+                        packing.pack(self.prepare_batch(batch)), self.mesh)
                 state, metrics = self._train_step(state, packed)
                 n0 += 1
                 step = int(state.step)
                 if pred_every and step % pred_every == 0:
                     # periodic conditional hard-DC sampling from the EMA
                     # model (train_DiT.py:283-291; Latte samples from EMA)
-                    gen = self.sample(state.ema_params, batch, seed=step)
+                    if use_dp:
+                        gen = packing.unpack_np(self._sample_fn(
+                            state.ema_params, packed,
+                            jax.random.PRNGKey(step)))
+                    else:
+                        gen = self.sample(state.ema_params, batch, seed=step)
                     mag = np.abs(gen["pred"] if isinstance(gen, dict) else gen)
                     strip = np.concatenate(list(mag[0, 0][:8]), axis=1)
                     writer.image(step, "Train/sampled_magnitude", strip)

@@ -15,6 +15,10 @@ from dl_swin_gan_tpu.train.trainer import Trainer
 
 
 class DSLRTrainer(Trainer):
+    # L_init/R_init come from a host-side truncated SVD in the preprocess
+    # (train_lr.py:188,204 semantics) — not available on the device path yet
+    supports_device_pipeline = False
+
     def __init__(self, cfg, **kw):
         super().__init__(cfg, **kw)
         self.block_size = cfg.MODEL.PARAMETERS.DSLR.BLOCK_SIZE

@@ -128,6 +128,75 @@ def bench_recon():
           flops=_flops_per_call(recon, params, batch), dt_per_it=best / iters)
 
 
+def bench_recon_e2e():
+    """Deployment-path reconstruction throughput: frames/s INCLUDING host
+    preprocessing (VDkt re-undersampling + normalization + slwin init) and
+    host<->device transfer, with the host work prefetch-overlapped against
+    device compute — the timing semantics of reference
+    `scripts/reconstruct.py:211-240`. The plain `recon` workload is the
+    device-resident upper bound; the gap between the two is the input
+    pipeline + relay overhead."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import numpy as np
+
+    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.data.synthetic import make_cine_example
+    from dl_swin_gan_tpu.infer.reconstruct import Reconstructor
+    from dl_swin_gan_tpu.infer.transforms import ResampleTransform
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "RES"
+    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
+    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
+    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
+    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
+    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
+    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg.AUG_TRAIN.CROP_READOUT = 0
+    cfg.OUTPUT_DIR = "/tmp/bench"
+
+    T, Y, X, C, E = 20, 180, 64, 8, 2
+    S = int(os.environ.get("BENCH_SLICES", "16"))
+    raw = [make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=s)[:2]
+           for s in range(S)]
+    transform = ResampleTransform(12.0, cfg)   # the 12x parity protocol
+
+    first = transform(*raw[0])
+    batch0 = {k: np.asarray(v)[None] for k, v in first.items()}
+
+    # params: untrained init (throughput is architecture-, not value-bound)
+    from dl_swin_gan_tpu.models import build_denoiser
+    from dl_swin_gan_tpu.solvers import build_solver
+    from dl_swin_gan_tpu.train import packing
+    model = build_solver(cfg, lambda: build_denoiser(cfg))
+    params = jax.jit(lambda p: model.init(
+        jax.random.PRNGKey(0), packing.unpack(p)["kspace"],
+        packing.unpack(p)["maps"], packing.unpack(p)["mask"],
+        x0=packing.unpack(p)["init_image"])["params"])(packing.pack(batch0))
+
+    recon = Reconstructor(cfg, params)
+    _ = recon(batch0)  # compile + warm
+
+    def run_once():
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(
+                lambda r: {k: np.asarray(v)[None]
+                           for k, v in transform(*r).items()}, r)
+                for r in raw]
+            t0 = time.perf_counter()
+            out = [recon(f.result()) for f in futs]
+            _ = np.asarray(out[-1]).ravel()[0]
+            return time.perf_counter() - t0
+
+    best = min(run_once() for _ in
+               range(int(os.environ.get("BENCH_REPEATS", "3"))))
+    fps = S * T / best
+    _emit("unrolled_resnet_recon_e2e_throughput", round(fps, 1), "frames/s",
+          baseline=BASELINE_RECON_FPS)
+
+
 def bench_trainer_workload(kind: str):
     """Bench the REAL trainer train-step for swin / dit / dslr workloads on
     the canonical cine slice, device-resident, min over repeats."""
@@ -144,6 +213,9 @@ def bench_trainer_workload(kind: str):
             "dit": "configs/config_dit.yaml",
             "latte": "configs/config_latte.yaml",
             "dslr": "configs/config_dslr.yaml"}[kind]
+    # BENCH_CONFIG points at any config yaml (e.g. configs/quality/*.yaml)
+    # to cost a specific run before committing TPU-hours to it
+    yaml = os.environ.get("BENCH_CONFIG", yaml)
     cfg = load_cfg(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 yaml), freeze=False)
     cfg.MODEL.STRATEGY = "none"   # single-chip bench
@@ -230,6 +302,11 @@ def main():
 
     T, Y, X, C, E = 20, 180, 64, 8, 2  # stanfordCine slice, post readout-crop
     B = int(os.environ.get("BENCH_BATCH", "1"))
+    # batched training does not fit HBM without per-unroll remat (5 unrolls
+    # of f32 activations at bs>=4 need ~42G); bs=1 keeps the historical
+    # no-remat configuration for continuity with BENCH_r01/r02
+    if B > 1 or os.environ.get("BENCH_REMAT"):
+        cfg.MODEL.PARAMETERS.GRAD_CHECKPOINT = True
 
     pre = CinePreprocess(cfg, use_seed=True)
     exs = []
@@ -299,6 +376,8 @@ if __name__ == "__main__":
     wl = os.environ.get("BENCH_WORKLOAD", "")
     if wl == "recon":
         bench_recon()
+    elif wl == "recon_e2e":
+        bench_recon_e2e()
     elif wl in ("swin", "dit", "latte", "dslr"):
         bench_trainer_workload(wl)
     else:

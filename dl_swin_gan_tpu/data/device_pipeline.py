@@ -61,10 +61,11 @@ class DevicePipeline:
     """Builds network-ready batches on device from cached raw examples."""
 
     def __init__(self, cfg, aug_node=None, use_seed: bool = False,
-                 diffusion: bool = False):
+                 diffusion: bool = False, lr_decom: bool = False):
         self.cfg = cfg
         self.use_seed = use_seed
         self.diffusion = diffusion
+        self.lr_decom = lr_decom
         self.rng = np.random.RandomState()
         aug = aug_node if aug_node is not None else cfg.AUG_TRAIN
         self.aug = aug
@@ -167,6 +168,20 @@ class DevicePipeline:
                    init_image=init_image,
                    scale=scale.astype(jnp.float32).reshape(1),
                    target=target)
+        if self.lr_decom:
+            # DSLR L0/R0 init on device: jnp.linalg.svd runs on TPU, so the
+            # truncated block SVD the host loader pays per step
+            # (preprocess.py:166-168 semantics) fuses into the build. SVD
+            # factor phases differ from the numpy host path (both valid —
+            # LR^H is identical; the reference's torch CPU SVD picks a third
+            # phase convention).
+            from dl_swin_gan_tpu.ops.llr import BlockOp, decompose
+            p = self.cfg.MODEL.PARAMETERS
+            op = BlockOp(p.DSLR.BLOCK_SIZE, init_image.shape,
+                         overlapping=p.DSLR.OVERLAPPING)
+            L, R = decompose(op.extract(init_image), p.DSLR.NUM_BASIS)
+            out["L_init"] = L[None].astype(jnp.complex64)
+            out["R_init"] = R[None].astype(jnp.complex64)
         if self.diffusion:
             # the diffusion paths never consume raw k-space
             # (DiffusionTrainer.prepare_batch) — don't materialize it
@@ -191,15 +206,15 @@ class DevicePipelineLoader:
 
     def __init__(self, root_directory: str, cfg, aug_node=None,
                  use_seed: bool = False, diffusion: bool = False,
-                 shuffle: bool = True, seed: Optional[int] = None,
-                 sample_rate: float = 1.0):
+                 lr_decom: bool = False, shuffle: bool = True,
+                 seed: Optional[int] = None, sample_rate: float = 1.0):
         import h5py
         import glob
         import os
         import random
 
         self.pipe = DevicePipeline(cfg, aug_node=aug_node, use_seed=use_seed,
-                                   diffusion=diffusion)
+                                   diffusion=diffusion, lr_decom=lr_decom)
         self.shuffle = shuffle
         self.seed = seed
         self._epoch = 0
@@ -232,7 +247,7 @@ class DevicePipelineLoader:
         """One HOST-preprocessed batch (for init_state's shape/struct)."""
         from dl_swin_gan_tpu.data.preprocess import CinePreprocess
         pre = CinePreprocess(self.pipe.cfg, aug_node=self.pipe.aug,
-                             use_seed=True)
+                             use_seed=True, lr_decom=self.pipe.lr_decom)
         k, m, t = self._host[0]
         ex = pre(k, m, t, self._names[0])
         return {key: np.asarray(v)[None] for key, v in ex.items()}

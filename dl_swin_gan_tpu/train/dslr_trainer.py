@@ -15,9 +15,10 @@ from dl_swin_gan_tpu.train.trainer import Trainer
 
 
 class DSLRTrainer(Trainer):
-    # L_init/R_init come from a host-side truncated SVD in the preprocess
-    # (train_lr.py:188,204 semantics) — not available on the device path yet
-    supports_device_pipeline = False
+    def _device_pipeline_kwargs(self):
+        # L_init/R_init via the on-device truncated block SVD
+        # (train_lr.py:188,204 semantics; jnp.linalg.svd runs on TPU)
+        return {"lr_decom": True}
 
     def __init__(self, cfg, **kw):
         super().__init__(cfg, **kw)

@@ -221,8 +221,11 @@ class Trainer:
         self._val_step = jax.jit(val_step)
 
     # -- the loop --------------------------------------------------------------
-    # DSLRTrainer overrides (needs host-side L/R SVD init)
     supports_device_pipeline = True
+
+    def _device_pipeline_kwargs(self) -> dict:
+        """Extra DevicePipelineLoader kwargs (DSLRTrainer: lr_decom)."""
+        return {}
 
     def _use_device_pipeline(self) -> bool:
         import numpy as _np
@@ -243,7 +246,8 @@ class Trainer:
             from dl_swin_gan_tpu.data.device_pipeline import DevicePipelineLoader
             train_loader = DevicePipelineLoader(
                 train_dir, cfg, use_seed=False, shuffle=True, seed=cfg.SEED,
-                sample_rate=cfg.DATALOADER.SUBSAMPLE)
+                sample_rate=cfg.DATALOADER.SUBSAMPLE,
+                **self._device_pipeline_kwargs())
         else:
             train_data = Hdf5Dataset(
                 train_dir, self.make_preprocess(use_seed=False),

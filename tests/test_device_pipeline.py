@@ -97,3 +97,52 @@ def test_fit_with_device_pipeline(tmp_path):
             open(str(tmp_path / "out" / "metrics.jsonl"))]
     losses = [r["Train/complex_l1"] for r in recs if "Train/complex_l1" in r]
     assert losses[-1] < losses[0]
+
+
+def test_device_pipeline_dslr_batch():
+    """lr_decom mode: on-device truncated block SVD init. SVD factor phases
+    are convention-dependent (numpy/torch/XLA all differ) — what is pinned
+    is the composed low-rank image LR^H."""
+    from dl_swin_gan_tpu.ops.llr import BlockOp, compose
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    cfg.MODEL.PARAMETERS.DSLR.BLOCK_SIZE = 8
+    cfg.MODEL.PARAMETERS.DSLR.NUM_BASIS = 3
+    k, m, t = make_cine_example(T=6, Y=32, X=24, C=4, E=2, seed=5)
+
+    host = CinePreprocess(cfg, use_seed=True, lr_decom=True)(k, m, t, "lr_ex")
+    pipe = DevicePipeline(cfg, use_seed=True, lr_decom=True)
+    raw = pipe.upload_raw(k, m)
+    got = packing.unpack_np(pipe.build(raw, pipe.draw_params("lr_ex", k.shape)))
+
+    assert got["L_init"].shape[1:] == host["L_init"].shape
+    assert got["R_init"].shape[1:] == host["R_init"].shape
+    op = BlockOp(8, (1, 2) + host["target"].shape[1:], xp=np)
+    img_host = np.asarray(compose(host["L_init"], host["R_init"], op))
+    img_dev = np.asarray(compose(got["L_init"][0], got["R_init"][0], op))
+    np.testing.assert_allclose(img_dev, img_host, rtol=2e-3,
+                               atol=2e-4 * np.abs(img_host).max())
+
+
+def test_dslr_fit_with_device_pipeline(tmp_path):
+    from dl_swin_gan_tpu.train.dslr_trainer import DSLRTrainer
+
+    train = str(tmp_path / "train")
+    write_synthetic_dataset(train, num_files=2, slices=1, T=6, Y=32, X=24,
+                            C=4, E=2, seed=0)
+    cfg = _cfg()
+    cfg.MODEL.META_ARCHITECTURE = "dslr-cg-v1"
+    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 1
+    cfg.MODEL.PARAMETERS.DSLR.BLOCK_SIZE = 8
+    cfg.MODEL.PARAMETERS.DSLR.NUM_BASIS = 2
+    cfg.MODEL.PARAMETERS.DSLR.NUM_CG_STEPS = 2
+    cfg.DATALOADER.DEVICE_PIPELINE = True
+    cfg.DATALOADER.NUM_WORKERS = 1
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.DATASET.TRAIN = (train,)
+    cfg.DATASET.VAL = ()
+
+    trainer = DSLRTrainer(cfg)
+    state = trainer.fit(max_epochs=2)
+    assert int(state.step) == 4

@@ -286,6 +286,9 @@ class DiffusionTrainer:
         log_every = cfg.LOGGER.LOG_METRICS_EVERY_N_STEPS
         pred_every = cfg.LOGGER.LOG_PREDICTION_EVERY_N_STEPS
         t0, n0 = time.perf_counter(), 0
+        # host-side step counter (see Trainer.fit): avoids a per-step D2H
+        # sync of state.step that defeats async dispatch on slow links
+        host_step = int(state.step)
         for epoch in range(start_epoch, max_epochs):
             for batch in train_loader:
                 if use_dp:  # already a packed, device-resident batch
@@ -295,7 +298,8 @@ class DiffusionTrainer:
                         packing.pack(self.prepare_batch(batch)), self.mesh)
                 state, metrics = self._train_step(state, packed)
                 n0 += 1
-                step = int(state.step)
+                host_step += 1
+                step = host_step
                 if pred_every and step % pred_every == 0:
                     # periodic conditional hard-DC sampling from the EMA
                     # model (train_DiT.py:283-291; Latte samples from EMA)

@@ -296,6 +296,11 @@ class Trainer:
         log_every = cfg.LOGGER.LOG_METRICS_EVERY_N_STEPS
         img_every = cfg.LOGGER.LOG_IMAGES_EVERY_N_STEPS
         t_start, steps_done = time.perf_counter(), 0
+        # host-side step counter: int(state.step) every iteration would be a
+        # per-step device->host read that serializes jax's async dispatch
+        # (costly on high-latency links); the device counter stays
+        # authoritative for checkpoint/resume
+        host_step = int(state.step)
 
         # jax.profiler trace (reference: Lightning AdvancedProfiler,
         # train_DiT.py:500) — enabled via env DL_SWIN_GAN_PROFILE=<dir>
@@ -324,7 +329,8 @@ class Trainer:
                            else device_batches(train_loader)):
                 state, metrics = self._train_step(state, packed)
                 steps_done += 1
-                step = int(state.step)
+                host_step += 1
+                step = host_step
                 if profile_dir and steps_done == 10:
                     jax.profiler.stop_trace()
                     logger.info("profiler trace written to %s", profile_dir)

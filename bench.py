@@ -307,6 +307,8 @@ def main():
     # no-remat configuration for continuity with BENCH_r01/r02
     if B > 1 or os.environ.get("BENCH_REMAT"):
         cfg.MODEL.PARAMETERS.GRAD_CHECKPOINT = True
+    if os.environ.get("BENCH_DTYPE"):  # e.g. bfloat16 trunk compute
+        cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = os.environ["BENCH_DTYPE"]
 
     pre = CinePreprocess(cfg, use_seed=True)
     exs = []

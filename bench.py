@@ -158,6 +158,8 @@ def bench_recon_e2e():
     cfg.OUTPUT_DIR = "/tmp/bench"
 
     T, Y, X, C, E = 20, 180, 64, 8, 2
+    if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" (smoke tests)
+        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
     S = int(os.environ.get("BENCH_SLICES", "16"))
     raw = [make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=s)[:2]
            for s in range(S)]

@@ -203,3 +203,21 @@ def test_reconstruct_cfl_roundtrip(tiny_cfg, tmp_path):
     im = cfl.read(out, order="F")
     assert im.shape[0] == X and im.shape[1] == Y
     assert np.isfinite(np.abs(im)).all() and np.abs(im).max() > 0
+
+
+def test_gan_trainer_resume(tiny_cfg, tmp_path):
+    """GANTrainState (two optimizers) restores through the checkpoint
+    manager — the crash-resume path the SwinGAN watchdog depends on."""
+    from dl_swin_gan_tpu.train.gan_trainer import GANTrainer
+
+    cfg = tiny_cfg.clone()
+    cfg.MODEL.GAN.DISC_FEATURES = 8
+    cfg.MODEL.GAN.DISC_LAYERS = 2
+    cfg.EVAL.CKPT_EVERY_N_STEPS = 2
+    cfg.OUTPUT_DIR = str(tmp_path / "gan_resume")
+
+    state = GANTrainer(cfg).fit(max_epochs=1)
+    assert int(state.step) == 2
+
+    state2 = GANTrainer(cfg).fit(max_epochs=2, resume=True)
+    assert int(state2.step) == 4

@@ -12,6 +12,7 @@ BENCH_WORKLOAD selects the workload:
   (default)  unrolled-ResNet train step          [the driver-recorded metric]
   recon      unrolled-ResNet inference frames/s  (north-star metric)
   swin       unrolled-Swin train step            (configs/config_swin.yaml)
+  gan        SwinGAN adversarial train step      (configs/config_swingan.yaml)
   dit        DiT DDPM_X diffusion train step     (configs/config_dit.yaml)
   latte      Latte DDPM_X diffusion train step   (configs/config_latte.yaml)
   dslr       DSLR low-rank train step            (configs/config_dslr.yaml)
@@ -214,7 +215,8 @@ def bench_trainer_workload(kind: str):
     yaml = {"swin": "configs/config_swin.yaml",
             "dit": "configs/config_dit.yaml",
             "latte": "configs/config_latte.yaml",
-            "dslr": "configs/config_dslr.yaml"}[kind]
+            "dslr": "configs/config_dslr.yaml",
+            "gan": "configs/config_swingan.yaml"}[kind]
     # BENCH_CONFIG points at any config yaml (e.g. configs/quality/*.yaml)
     # to cost a specific run before committing TPU-hours to it
     yaml = os.environ.get("BENCH_CONFIG", yaml)
@@ -242,6 +244,9 @@ def bench_trainer_workload(kind: str):
     elif kind == "dslr":
         from dl_swin_gan_tpu.train.dslr_trainer import DSLRTrainer
         trainer = DSLRTrainer(cfg)
+    elif kind == "gan":
+        from dl_swin_gan_tpu.train.gan_trainer import GANTrainer
+        trainer = GANTrainer(cfg)
     else:
         from dl_swin_gan_tpu.train.trainer import Trainer
         trainer = Trainer(cfg)
@@ -382,7 +387,7 @@ if __name__ == "__main__":
         bench_recon()
     elif wl == "recon_e2e":
         bench_recon_e2e()
-    elif wl in ("swin", "dit", "latte", "dslr"):
+    elif wl in ("swin", "dit", "latte", "dslr", "gan"):
         bench_trainer_workload(wl)
     else:
         main()

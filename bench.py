@@ -49,13 +49,15 @@ def _flops_per_call(jitted, *args):
         return None
 
 
-def _emit(metric, value, unit, baseline=None, flops=None, dt_per_it=None):
+def _emit(metric, value, unit, baseline=None, flops=None, dt_per_it=None,
+          extra=None):
     rec = {"metric": metric, "value": value, "unit": unit,
            "vs_baseline": (round(value / baseline, 3) if baseline else None)}
     if flops and dt_per_it:
         tflops = flops / dt_per_it / 1e12
         rec["tflops"] = round(tflops, 2)
         rec["mfu"] = round(tflops * 1e12 / V5E_PEAK_FLOPS, 4)
+    rec.update(extra or {})
     print(json.dumps(rec))
 
 
@@ -280,7 +282,8 @@ def bench_trainer_workload(kind: str):
           baseline=BASELINE_IT_S, flops=flops, dt_per_it=best / iters)
 
 
-def main():
+def _measure_headline(B, remat, dtype=None):
+    """One headline measurement: returns (it_s, flops_per_step, dt_per_it)."""
     import jax
     import numpy as np
 
@@ -305,18 +308,14 @@ def main():
     cfg.MODEL.PARAMETERS.SLWIN_INIT = True
     cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
     cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
+    cfg.MODEL.PARAMETERS.GRAD_CHECKPOINT = remat
+    if dtype:
+        cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = dtype
     cfg.OUTPUT_DIR = "/tmp/bench"
 
     T, Y, X, C, E = 20, 180, 64, 8, 2  # stanfordCine slice, post readout-crop
-    B = int(os.environ.get("BENCH_BATCH", "1"))
-    # batched training does not fit HBM without per-unroll remat (5 unrolls
-    # of f32 activations at bs>=4 need ~42G); bs=1 keeps the historical
-    # no-remat configuration for continuity with BENCH_r01/r02
-    if B > 1 or os.environ.get("BENCH_REMAT"):
-        cfg.MODEL.PARAMETERS.GRAD_CHECKPOINT = True
-    if os.environ.get("BENCH_DTYPE"):  # e.g. bfloat16 trunk compute
-        cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = os.environ["BENCH_DTYPE"]
-
+    if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" (smoke tests)
+        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
     pre = CinePreprocess(cfg, use_seed=True)
     exs = []
     for b in range(B):
@@ -358,6 +357,8 @@ def main():
         # a device-to-host read of one element does.
         np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
 
+    flops = _flops_per_call(step, params, opt_state, batch)
+
     # warmup (compile) + burn-in
     for _ in range(3):
         params, opt_state = step(params, opt_state, batch)
@@ -372,13 +373,37 @@ def main():
             params, opt_state = step(params, opt_state, batch)
         sync(params)  # steps are chained via donated params; one read flushes all
         best = min(best, time.perf_counter() - t0)
-    dt = best
 
-    it_s = iters * B / dt
+    return iters * B / best, flops, best / iters
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "1"))
+    # batched training does not fit HBM without per-unroll remat (5 unrolls
+    # of f32 activations at bs>=4 need ~42G); bs=1 keeps the historical
+    # no-remat configuration for continuity with BENCH_r01/r02
+    remat = B > 1 or bool(os.environ.get("BENCH_REMAT"))
+    dtype = os.environ.get("BENCH_DTYPE")
+    it_s, flops, dt = _measure_headline(B, remat, dtype)
+
+    extra = {}
+    if B == 1 and not os.environ.get("BENCH_NO_BATCHED"):
+        # the reference protocol point is bs=1 (its only committed number);
+        # the TPU-sensible operating point is batched+remat — report both
+        # in one line so the record carries the MFU evidence
+        try:
+            bit_s, bflops, bdt = _measure_headline(8, True, dtype)
+            extra = {"batched_bs": 8,
+                     "batched_samples_per_s": round(bit_s, 1)}
+            if bflops:
+                btf = bflops / bdt / 1e12
+                extra["batched_tflops"] = round(btf, 2)
+                extra["batched_mfu"] = round(btf * 1e12 / V5E_PEAK_FLOPS, 4)
+        except Exception:
+            pass
+
     _emit("unrolled_resnet_train_throughput", round(it_s, 3), "it/s",
-          baseline=BASELINE_IT_S, flops=_flops_per_call(step, params,
-                                                        opt_state, batch),
-          dt_per_it=dt / iters)
+          baseline=BASELINE_IT_S, flops=flops, dt_per_it=dt, extra=extra)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ from typing import Any, Optional
 
 import numpy as np
 import orbax.checkpoint as ocp
+from orbax.checkpoint import checkpoint_managers as ocp_cm
 
 
 class CheckpointManager:
@@ -20,8 +21,24 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.monitor = monitor
+        # Retention = (best max_to_keep by monitor) OR (the latest step).
+        # A plain max_to_keep+best_fn keeps only the best N: once every
+        # periodic save collides with a validation save (and so carries
+        # metrics), the newest checkpoint is GC'd whenever it isn't among
+        # the best — crash-resume then rewinds to the best step, not the
+        # last one. BestN sorts ascending and keeps the last n, so
+        # reverse=True selects the n smallest for mode='min'.
+        policies = [
+            ocp_cm.BestN(
+                get_metric_fn=(lambda metrics: metrics.get(monitor, np.inf)),
+                reverse=(mode == "min"),
+                n=max_to_keep,
+            ),
+        ]
+        if keep_latest:
+            policies.append(ocp_cm.LatestN(n=1))
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep + (1 if keep_latest else 0),
+            preservation_policy=ocp_cm.AnyPreservationPolicy(policies),
             best_fn=(lambda metrics: metrics.get(monitor, np.inf)),
             best_mode=mode,
         )

@@ -173,3 +173,29 @@ def test_checkpoint_duplicate_step_keeps_metrics(tmp_path):
     restored = mgr.restore({"w": np.zeros(4, np.float32)}, step=mgr.best_step())
     np.testing.assert_array_equal(restored["w"], state["w"])
     mgr.close()
+
+
+def test_checkpoint_keeps_latest_even_when_worse(tmp_path):
+    """Retention must be (best N by monitor) OR (latest step). With plain
+    max_to_keep+best_fn, once every periodic save collides with a
+    validation save (so all saves carry metrics), orbax GC'd the newest
+    checkpoint whenever it wasn't among the best — crash-resume then
+    rewound to the best step (observed: a 32k-step run whose final
+    checkpoint was deleted seconds after being written)."""
+    from dl_swin_gan_tpu.train.checkpoint import CheckpointManager
+
+    state = {"w": np.arange(4, dtype=np.float32)}
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="Validate MSE",
+                            max_to_keep=1)
+    mgr.save(8, state, metrics={"Validate MSE": 0.5})
+    # Degrading metric: every later step is worse than the best.
+    mgr.save(16, state, metrics={"Validate MSE": 0.9})
+    mgr.save(24, state, metrics={"Validate MSE": 0.8})
+    assert mgr.best_step() == 8
+    assert mgr.latest_step() == 24      # latest survives GC despite being worse
+    steps = set(mgr._mgr.all_steps())
+    assert 8 in steps and 24 in steps
+    assert 16 not in steps              # neither best nor latest -> GC'd
+    restored = mgr.restore({"w": np.zeros(4, np.float32)})
+    np.testing.assert_array_equal(restored["w"], state["w"])
+    mgr.close()

@@ -216,3 +216,42 @@ def test_dit_cfg_forward(make_complex):
     # the two halves of the guided eps must be identical
     np.testing.assert_allclose(np.asarray(out[0, ..., :8]),
                                np.asarray(out[1, ..., :8]), rtol=1e-5)
+
+
+def test_sampling_unroll_reuse_accepts_single_unroll_params():
+    """Inference-time unroll reuse: a solver built with SHARE_WEIGHTS=True and
+    num_unrolls=K applies the SAME single trained net K times (net -> hard DC,
+    K times per reverse step). Its param tree must be identical to the
+    1-unroll training-time tree, so quality_row can sweep sampling-time DC
+    cadence on a trained checkpoint via config overrides alone
+    (MODEL.PARAMETERS.NUM_UNROLLS K MODEL.PARAMETERS.SHARE_WEIGHTS True)."""
+    from dl_swin_gan_tpu.solvers.diffusion_unrolled import DiffusionUnrolled
+    from dl_swin_gan_tpu.models.latte import LatteNet
+
+    T, Y, X, C, E = 4, 16, 16, 3, 2
+    rs = np.random.RandomState(0)
+    cplx = lambda *s: (rs.randn(*s) + 1j * rs.randn(*s)).astype(np.complex64)
+    x = jnp.asarray(cplx(1, E, T, Y, X))
+    maps = jnp.asarray(cplx(1, E, C, 1, Y, X) / 3)
+    mask = jnp.asarray((rs.rand(1, T, Y, X) < 0.3).astype(np.float32))
+    t = jnp.zeros((1,), jnp.int32)
+    kwargs = dict(A=SenseOp(maps, mask), A_1=SenseOp(maps, 1.0 - mask),
+                  A_F=SenseOp(maps, None), A_S=SenseOp(maps, mask),
+                  c=jnp.ones((1,), jnp.int32))
+
+    mk = lambda learn_sigma: LatteNet(depth=2, hidden_size=48, num_heads=4,
+                                      num_emaps=E, learn_sigma=learn_sigma)
+    train_time = DiffusionUnrolled(make_denoiser=mk, num_unrolls=1,
+                                   dc_mode="dc")
+    params = train_time.init(jax.random.PRNGKey(1), x, t, **kwargs)["params"]
+
+    reuse = DiffusionUnrolled(make_denoiser=mk, num_unrolls=2, dc_mode="dc",
+                              share_weights=True)
+    reuse_tree = reuse.init(jax.random.PRNGKey(1), x, t, **kwargs)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(reuse_tree)
+
+    out1 = train_time.apply({"params": params}, x, t, **kwargs)
+    out2 = reuse.apply({"params": params}, x, t, **kwargs)   # same params OK
+    assert out2.shape == out1.shape
+    assert np.isfinite(np.abs(np.asarray(out2))).all()

@@ -48,6 +48,9 @@ def main(argv=None):
     parser.add_argument("--acceleration", type=float, default=12)
     parser.add_argument("--use-ema", action="store_true")
     parser.add_argument("--sample-steps", type=int, default=100)
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="slices per jitted recon call (diffusion "
+                             "sampling amortizes its fixed per-call cost)")
     parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
     args = parser.parse_args(argv)
     if args.kind != "zerofilled" and not args.ckpt:
@@ -110,6 +113,7 @@ def main(argv=None):
         for path in files:
             reconstruct_h5_file(path, args.out, cfg, params,
                                 acceleration=accel,
+                                batch_size=args.batch_size,
                                 sample_steps=args.sample_steps)
 
     # 3) evaluate

@@ -390,7 +390,10 @@ def main():
     if B == 1 and not os.environ.get("BENCH_NO_BATCHED"):
         # the reference protocol point is bs=1 (its only committed number);
         # the TPU-sensible operating point is batched+remat — report both
-        # in one line so the record carries the MFU evidence
+        # in one line so the record carries the MFU evidence. The bf16-trunk
+        # variant keeps FFT/DC in f32 (CONV_BLOCK.DTYPE plumbs only the
+        # denoiser compute dtype); its quality row is
+        # configs/quality/resnet_bf16.yaml.
         try:
             bit_s, bflops, bdt = _measure_headline(8, True, dtype)
             extra = {"batched_bs": 8,
@@ -401,6 +404,17 @@ def main():
                 extra["batched_mfu"] = round(btf * 1e12 / V5E_PEAK_FLOPS, 4)
         except Exception:
             pass
+        if not dtype:
+            try:
+                bit_s, bflops, bdt = _measure_headline(8, True, "bfloat16")
+                extra["batched_bf16_samples_per_s"] = round(bit_s, 1)
+                if bflops:
+                    btf = bflops / bdt / 1e12
+                    extra["batched_bf16_tflops"] = round(btf, 2)
+                    extra["batched_bf16_mfu"] = round(
+                        btf * 1e12 / V5E_PEAK_FLOPS, 4)
+            except Exception:
+                pass
 
     _emit("unrolled_resnet_train_throughput", round(it_s, 3), "it/s",
           baseline=BASELINE_IT_S, flops=flops, dt_per_it=dt, extra=extra)

@@ -26,13 +26,22 @@ def zdot_single(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def conjugate_gradient(A: Callable, x0: jnp.ndarray, y: jnp.ndarray,
-                       num_iter: int) -> jnp.ndarray:
+                       num_iter: int, unroll: bool = None) -> jnp.ndarray:
     """Solve A x = y for SPD (normal-equation) operator A, fixed iterations.
 
     Matches reference semantics (`algorithms.py:44-73`): no early exit, no
     preconditioner, complex dot products. Uses lax.fori_loop with a static
     bound, which XLA converts to a differentiable scan.
+
+    unroll=True (default: env DL_SWIN_GAN_CG_UNROLL=1) trace-unrolls the
+    iterations instead — identical floating-point sequence, but XLA sees one
+    flat graph it can fuse/pipeline across iterations rather than a
+    sequential scan with per-step dispatch. Pays off when A is a chain of
+    small ops (the DSLR factor normal equations); costs compile time.
     """
+    if unroll is None:
+        import os
+        unroll = bool(int(os.environ.get("DL_SWIN_GAN_CG_UNROLL", "0")))
     r0 = y - A(x0)
 
     def body(_, state):
@@ -48,6 +57,10 @@ def conjugate_gradient(A: Callable, x0: jnp.ndarray, y: jnp.ndarray,
         return (x, p, r, rsnew)
 
     state = (x0, r0, r0, zdot_single(r0))
+    if unroll:
+        for i in range(num_iter):
+            state = body(i, state)
+        return state[0]
     x, _, _, _ = jax.lax.fori_loop(0, num_iter, body, state)
     return x
 

@@ -140,6 +140,32 @@ def test_cg_sense_normal_equations(make_complex):
     assert res < 0.2 * res0
 
 
+def test_cg_unrolled_matches_fori_loop():
+    """The trace-unrolled CG (DL_SWIN_GAN_CG_UNROLL / unroll=True) runs the
+    identical floating-point iteration as the lax.fori_loop path — values and
+    gradients agree to f32 fusion round-off."""
+    rng = np.random.RandomState(3)
+    n = 12
+    Mmat = rng.randn(n, n) + 1j * rng.randn(n, n)
+    Amat = Mmat.conj().T @ Mmat + 3.0 * np.eye(n)
+    A = lambda v: jnp.asarray(Amat) @ v
+    y = jnp.asarray(rng.randn(n) + 1j * rng.randn(n))
+    x0 = jnp.zeros(n, jnp.complex64)
+    xl = conjugate_gradient(A, x0, y, num_iter=10, unroll=False)
+    xu = conjugate_gradient(A, x0, y, num_iter=10, unroll=True)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(xl),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(u, unroll):
+        x = conjugate_gradient(A, x0, u, num_iter=10, unroll=unroll)
+        return jnp.real(jnp.vdot(x, x))
+
+    gl = jax.grad(lambda u: loss(u, False))(y)
+    gu = jax.grad(lambda u: loss(u, True))(y)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(gl),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_cg_is_differentiable(make_complex):
     x, maps, y, mask = _sense_problem(make_complex, B=1, E=1, C=2, T=2, Y=8, X=8)
     rhs = sense_adjoint(y, maps, mask)

@@ -34,8 +34,13 @@ def load_checkpoint_params(ckpt_dir: str, step: Optional[int] = None,
         if step is None:
             raise FileNotFoundError(f"No checkpoint found in {ckpt_dir}")
         restored = mgr.restore(step, args=ocp.args.StandardRestore())
-    params = restored["ema_params"] if use_ema and restored.get("ema_params") \
-        else restored["params"]
+    if use_ema and restored.get("ema_params"):
+        params = restored["ema_params"]
+    elif "params" in restored:
+        params = restored["params"]
+    else:
+        # GANTrainState checkpoints: reconstruct with the generator
+        params = restored["g_params"]
     logger.info("loaded checkpoint step %s from %s (ema=%s)", step, ckpt_dir,
                 use_ema)
     return params

@@ -156,6 +156,15 @@ def test_gan_trainer_fit_tiny(tiny_cfg, tmp_path):
     assert int(state.step) == 2
     assert os.listdir(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
 
+    # quality_row loads GAN checkpoints with --kind unrolled: the loader must
+    # map GANTrainState.g_params to the generator param tree
+    import jax
+
+    from dl_swin_gan_tpu.infer import load_checkpoint_params
+    params = load_checkpoint_params(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(jax.device_get(state.g_params))
+
 
 def test_reconstruct_cfl_roundtrip(tiny_cfg, tmp_path):
     """The CFL deployment path: BART-dim k-space + maps in, im CFL out

@@ -72,17 +72,23 @@ class BlockOp:
     # -- unfold ---------------------------------------------------------------
     def _unfold(self, images):
         """[1, e, t, ny_pad, nx_pad] -> [N, e*b^2, t] in (by, bx) row-major
-        block order (reference :79-96)."""
+        block order (reference :79-96).
+
+        Stride = b/2, so each block is a pair of adjacent stride-s tiles per
+        axis: reshape into tiles and concatenate the shifted tile views —
+        2 slices + 1 concat per axis instead of num_blocks strided slices
+        (bit-identical output, far fewer copy ops for XLA to schedule)."""
         xp = self.xp
         b, s = self.block_size, self.stride
-        x = images[0]  # [e, t, Y, X]
-        rows = [x[:, :, iy * s: iy * s + b, :] for iy in range(self.num_blocks_y)]
-        x = xp.stack(rows, axis=0)  # [nby, e, t, b, X]
-        cols = [x[..., ix * s: ix * s + b] for ix in range(self.num_blocks_x)]
-        x = xp.stack(cols, axis=1)  # [nby, nbx, e, t, b, b]
-        # -> (nby, nbx, e, by, bx, t) -> [N, e*b*b, t]
-        x = x.transpose(0, 1, 2, 4, 5, 3)
-        return x.reshape(self.num_blocks, self.ne * b * b, self.nt)
+        x = images[0]  # [e, t, Ypad, Xpad]
+        e, t, yp, xpad = x.shape
+        v = x.reshape(e, t, yp // s, s, xpad)
+        y_pairs = xp.concatenate([v[:, :, :-1], v[:, :, 1:]], axis=3)
+        w = y_pairs.reshape(e, t, self.num_blocks_y, b, xpad // s, s)
+        x_pairs = xp.concatenate([w[..., :-1, :], w[..., 1:, :]], axis=-1)
+        # [e, t, nby, by, nbx, bx] -> (nby, nbx, e, by, bx, t) -> [N, e*b*b, t]
+        out = x_pairs.transpose(2, 4, 0, 3, 5, 1)
+        return out.reshape(self.num_blocks, self.ne * b * b, self.nt)
 
     def _fold(self, blocks):
         """Overlap-add inverse via four strided groups (reference :98-147)."""

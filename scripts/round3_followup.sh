@@ -40,3 +40,6 @@ stamp "3: DSLR bench baseline (this pool session)"
 BENCH_WORKLOAD=dslr timeout 1800 python bench.py 2>/dev/null | tail -1 | tee runs/dslr_bench_r3.log
 
 stamp "followup done"
+
+stamp "4: deployment-path e2e recon bench (host pipeline + transfer, prefetch-overlapped)"
+BENCH_WORKLOAD=recon_e2e timeout 1800 python bench.py 2>/dev/null | tail -1 | tee runs/recon_e2e_r3.log

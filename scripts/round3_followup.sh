@@ -43,3 +43,8 @@ stamp "followup done"
 
 stamp "4: deployment-path e2e recon bench (host pipeline + transfer, prefetch-overlapped)"
 BENCH_WORKLOAD=recon_e2e timeout 1800 python bench.py 2>/dev/null | tail -1 | tee runs/recon_e2e_r3.log
+
+stamp "5: DSLR operating-point sweep (batched + trace-unrolled CG)"
+BENCH_WORKLOAD=dslr BENCH_BATCH=4 timeout 1800 python bench.py 2>/dev/null | tail -1 | tee -a runs/dslr_bench_r3.log
+BENCH_WORKLOAD=dslr DL_SWIN_GAN_CG_UNROLL=1 timeout 1800 python bench.py 2>/dev/null | tail -1 | tee -a runs/dslr_bench_r3.log
+BENCH_WORKLOAD=dslr BENCH_BATCH=4 DL_SWIN_GAN_CG_UNROLL=1 timeout 1800 python bench.py 2>/dev/null | tail -1 | tee -a runs/dslr_bench_r3.log

@@ -91,26 +91,33 @@ class BlockOp:
         return out.reshape(self.num_blocks, self.ne * b * b, self.nt)
 
     def _fold(self, blocks):
-        """Overlap-add inverse via four strided groups (reference :98-147)."""
+        """Overlap-add inverse of _unfold (reference :98-147 computes the
+        same sum via four strided groups).
+
+        Each block contributes its first stride-s half at offset i*s and its
+        second half at i*s+s; within each half-set the tiles abut without
+        overlap, so per axis the overlap-add is two contiguous-half reshapes
+        + one shifted pad + one add (vs four strided 7-d gathers upstream)."""
         xp = self.xp
         b, s = self.block_size, self.stride
         nby, nbx = self.num_blocks_y, self.num_blocks_x
-        blk = blocks.reshape(1, nby, nbx, self.ne, b, b, self.nt)
-        blk = blk.transpose(0, 3, 6, 1, 4, 2, 5)  # [1, e, t, nby, by, nbx, bx]
+        e, t = self.ne, self.nt
+        blk = blocks.reshape(nby, nbx, e, b, b, t)
+        blk = blk.transpose(2, 5, 0, 3, 1, 4)  # [e, t, nby, by, nbx, bx]
 
-        def group(ys, xs, pad_y, pad_x):
-            g = blk[..., ys, :, xs, :]
-            ny = g.shape[3] * b
-            nx = g.shape[5] * b
-            g = g.reshape(1, self.ne, self.nt, ny, nx)
-            pads = [(0, 0)] * 3 + [(pad_y, pad_y), (pad_x, pad_x)]
-            return xp.pad(g, pads)
+        # x axis: [e, t, nby, by, nbx, bx] -> [e, t, nby, by, nx_pad]
+        x1 = blk[..., :s].reshape(e, t, nby, b, nbx * s)
+        x2 = blk[..., s:].reshape(e, t, nby, b, nbx * s)
+        pad4 = [(0, 0)] * 4
+        x = xp.pad(x1, pad4 + [(0, s)]) + xp.pad(x2, pad4 + [(s, 0)])
 
-        out = group(slice(0, None, 2), slice(0, None, 2), 0, 0)
-        out = out + group(slice(1, None, 2), slice(0, None, 2), s, 0)
-        out = out + group(slice(0, None, 2), slice(1, None, 2), 0, s)
-        out = out + group(slice(1, None, 2), slice(1, None, 2), s, s)
-        return out
+        # y axis: [e, t, nby, by, X] -> [e, t, ny_pad, X]
+        y1 = x[..., :s, :].reshape(e, t, nby * s, self.nx_pad)
+        y2 = x[..., s:, :].reshape(e, t, nby * s, self.nx_pad)
+        pad2 = [(0, 0)] * 2
+        out = (xp.pad(y1, pad2 + [(0, s), (0, 0)])
+               + xp.pad(y2, pad2 + [(s, 0), (0, 0)]))
+        return out[None]
 
     # -- public ------------------------------------------------------------------
     def extract(self, data):

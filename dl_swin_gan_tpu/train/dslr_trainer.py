@@ -34,12 +34,28 @@ class DSLRTrainer(Trainer):
                               lr_decom=True)
 
     def _apply(self, params, batch, train: bool = False, rngs=None):
-        block_op = BlockOp(self.block_size, batch["target"].shape,
+        # The reference is strictly bs=1 (train_lr.py:125 squeezes the batch
+        # dim off L_init); the single-example path reproduces that. For B>1
+        # — a TPU-native extension the reference lacks — vmap the whole
+        # solver over the batch: every example runs the same static-shape
+        # alt-min program, so XLA batches the many small FFTs/bmms instead
+        # of dispatching them one example at a time.
+        shape1 = (1,) + tuple(batch["target"].shape[1:])
+        block_op = BlockOp(self.block_size, shape1,
                            overlapping=self.overlapping)
-        return self.model.apply(
-            {"params": params}, batch["kspace"], batch["maps"], batch["mask"],
-            batch["L_init"][0], batch["R_init"][0], block_op)  # bs=1, like
-        # the reference's L_init.squeeze(0) (train_lr.py:125)
+        if batch["target"].shape[0] == 1:
+            return self.model.apply(
+                {"params": params}, batch["kspace"], batch["maps"],
+                batch["mask"], batch["L_init"][0], batch["R_init"][0],
+                block_op)
+        import jax
+
+        def one(k, m, ms, L, R):
+            return self.model.apply({"params": params}, k[None], m[None],
+                                    ms[None], L, R, block_op)[0]
+
+        return jax.vmap(one)(batch["kspace"], batch["maps"], batch["mask"],
+                             batch["L_init"], batch["R_init"])
 
     def init_state(self, sample_batch, seed=None):
         import jax
@@ -54,11 +70,15 @@ class DSLRTrainer(Trainer):
 
         def _init(packed_batch):
             b = packing.unpack(packed_batch)
-            block_op = BlockOp(self.block_size, b["target"].shape,
+            # init on one example (params are batch-independent; _apply
+            # vmaps the solver when B>1)
+            block_op = BlockOp(self.block_size,
+                               (1,) + tuple(b["target"].shape[1:]),
                                overlapping=self.overlapping)
             params = self.model.init(
-                jax.random.PRNGKey(seed), b["kspace"], b["maps"], b["mask"],
-                b["L_init"][0], b["R_init"][0], block_op)["params"]
+                jax.random.PRNGKey(seed), b["kspace"][:1], b["maps"][:1],
+                b["mask"][:1], b["L_init"][0], b["R_init"][0],
+                block_op)["params"]
             opt_state = self.tx.init(params)
             return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                               opt_state=opt_state, ema_params={})

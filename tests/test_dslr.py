@@ -136,3 +136,49 @@ def test_dslr_solver_forward(make_complex, mode):
     g = jax.grad(loss)(variables)
     leaves = jax.tree.leaves(g)
     assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+def test_dslr_trainer_batched_apply_matches_per_example(make_complex):
+    """B>1 goes through a vmapped solver (TPU-native extension; the
+    reference is strictly bs=1, train_lr.py:125): the batched apply must
+    equal stacking the single-example applies."""
+    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.train.dslr_trainer import DSLRTrainer
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "RES"
+    cfg.MODEL.META_ARCHITECTURE = "dslr-cg-v1"
+    p = cfg.MODEL.PARAMETERS
+    p.NUM_UNROLLS = 1
+    p.NUM_RESBLOCKS = 1
+    p.NUM_FEATURES = 8
+    p.NUM_EMAPS = 1
+    p.DSLR.BLOCK_SIZE = 8
+    p.DSLR.NUM_BASIS = 3
+    p.DSLR.NUM_CG_STEPS = 2
+    cfg.OUTPUT_DIR = "/tmp/dslr_batched_test"
+    cfg.MODEL.STRATEGY = "none"
+
+    B, E, C, T, Y, X = 2, 1, 3, 4, 20, 16
+    rngnp = np.random.RandomState(1)
+    kspace = jnp.asarray(make_complex((B, C, T, Y, X)))
+    maps = jnp.asarray(make_complex((B, E, C, 1, Y, X)))
+    mask = jnp.asarray((rngnp.rand(B, 1, T, Y, X) > 0.4).astype(np.float32))
+    init = np.asarray(make_complex((B, E, T, Y, X)))
+    Ls, Rs = zip(*[decompose_init(init[i:i + 1], block_size=8, rank=3)
+                   for i in range(B)])
+    batch = {"kspace": kspace, "maps": maps, "mask": mask,
+             "L_init": jnp.asarray(np.stack(Ls)),
+             "R_init": jnp.asarray(np.stack(Rs)),
+             "target": jnp.asarray(init)}
+
+    trainer = DSLRTrainer(cfg)
+    state = trainer.init_state(batch)
+
+    out_b = np.asarray(trainer._apply(state.params, batch))
+    assert out_b.shape == (B, E, T, Y, X)
+    for i in range(B):
+        one = {k: v[i:i + 1] for k, v in batch.items()}
+        out_1 = np.asarray(trainer._apply(state.params, one))
+        np.testing.assert_allclose(out_b[i:i + 1], out_1, rtol=2e-4,
+                                   atol=2e-5 * np.abs(out_1).max())

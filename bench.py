@@ -232,54 +232,74 @@ def bench_trainer_workload(kind: str):
     if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" override for smoke tests
         T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
     B = int(os.environ.get("BENCH_BATCH", "1"))
-    pre = CinePreprocess(cfg, use_seed=True, lr_decom=(kind == "dslr"))
-    exs = []
-    for b in range(B):
-        k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=b)
-        exs.append(pre(k, m, t, f"bench_{b}"))
-    batch = {key: np.stack([e[key] for e in exs]) for key in exs[0]}
 
-    if kind in ("dit", "latte"):
-        from dl_swin_gan_tpu.train.diffusion_trainer import DiffusionTrainer
-        trainer = DiffusionTrainer(cfg)
-        batch = trainer.prepare_batch(batch)
-    elif kind == "dslr":
-        from dl_swin_gan_tpu.train.dslr_trainer import DSLRTrainer
-        trainer = DSLRTrainer(cfg)
-    elif kind == "gan":
-        from dl_swin_gan_tpu.train.gan_trainer import GANTrainer
-        trainer = GANTrainer(cfg)
-    else:
-        from dl_swin_gan_tpu.train.trainer import Trainer
-        trainer = Trainer(cfg)
+    def measure(B):
+        pre = CinePreprocess(cfg, use_seed=True, lr_decom=(kind == "dslr"))
+        exs = []
+        for b in range(B):
+            k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=b)
+            exs.append(pre(k, m, t, f"bench_{b}"))
+        batch = {key: np.stack([e[key] for e in exs]) for key in exs[0]}
 
-    state = trainer.init_state(batch)
-    trainer._build_steps()
-    packed = jax.tree.map(jax.device_put,
-                          shard_batch(packing.pack(batch), trainer.mesh))
+        if kind in ("dit", "latte"):
+            from dl_swin_gan_tpu.train.diffusion_trainer import DiffusionTrainer
+            trainer = DiffusionTrainer(cfg)
+            batch = trainer.prepare_batch(batch)
+        elif kind == "dslr":
+            from dl_swin_gan_tpu.train.dslr_trainer import DSLRTrainer
+            trainer = DSLRTrainer(cfg)
+        elif kind == "gan":
+            from dl_swin_gan_tpu.train.gan_trainer import GANTrainer
+            trainer = GANTrainer(cfg)
+        else:
+            from dl_swin_gan_tpu.train.trainer import Trainer
+            trainer = Trainer(cfg)
 
-    def sync(metrics):
-        np.asarray(jax.tree.leaves(metrics)[0]).ravel()
+        state = trainer.init_state(batch)
+        trainer._build_steps()
+        packed = jax.tree.map(jax.device_put,
+                              shard_batch(packing.pack(batch), trainer.mesh))
 
-    flops = _flops_per_call(trainer._train_step, state, packed)
-    state, metrics = trainer._train_step(state, packed)  # compile
-    sync(metrics)
-    for _ in range(2):
-        state, metrics = trainer._train_step(state, packed)
-    sync(metrics)
+        def sync(metrics):
+            np.asarray(jax.tree.leaves(metrics)[0]).ravel()
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    best = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPEATS", "6"))):
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        flops = _flops_per_call(trainer._train_step, state, packed)
+        state, metrics = trainer._train_step(state, packed)  # compile
+        sync(metrics)
+        for _ in range(2):
             state, metrics = trainer._train_step(state, packed)
-        sync(metrics)  # chained donated state; one D2H read flushes all
-        best = min(best, time.perf_counter() - t0)
+        sync(metrics)
 
-    it_s = iters * B / best
+        iters = int(os.environ.get("BENCH_ITERS", "10"))
+        best = float("inf")
+        for _ in range(int(os.environ.get("BENCH_REPEATS", "6"))):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = trainer._train_step(state, packed)
+            sync(metrics)  # chained donated state; one D2H read flushes all
+            best = min(best, time.perf_counter() - t0)
+        return iters * B / best, flops, best / iters
+
+    it_s, flops, dt = measure(B)
+
+    extra = {}
+    if kind == "dslr" and B == 1 and not os.environ.get("BENCH_NO_BATCHED"):
+        # the reference protocol is bs=1 (train_lr.py squeezes the batch
+        # dim); the TPU-sensible DSLR operating point batches slices through
+        # the vmapped solver — report both in one line
+        try:
+            bit_s, bflops, bdt = measure(4)
+            extra = {"batched_bs": 4,
+                     "batched_samples_per_s": round(bit_s, 2)}
+            if bflops:
+                btf = bflops / bdt / 1e12
+                extra["batched_tflops"] = round(btf, 2)
+                extra["batched_mfu"] = round(btf * 1e12 / V5E_PEAK_FLOPS, 4)
+        except Exception:
+            pass
+
     _emit(f"unrolled_{kind}_train_throughput", round(it_s, 3), "it/s",
-          baseline=BASELINE_IT_S, flops=flops, dt_per_it=best / iters)
+          baseline=BASELINE_IT_S, flops=flops, dt_per_it=dt, extra=extra)
 
 
 def _measure_headline(B, remat, dtype=None):

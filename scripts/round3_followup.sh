@@ -48,3 +48,6 @@ stamp "5: DSLR operating-point sweep (batched + trace-unrolled CG)"
 BENCH_WORKLOAD=dslr BENCH_BATCH=4 timeout 1800 python bench.py 2>/dev/null | tail -1 | tee -a runs/dslr_bench_r3.log
 BENCH_WORKLOAD=dslr DL_SWIN_GAN_CG_UNROLL=1 timeout 1800 python bench.py 2>/dev/null | tail -1 | tee -a runs/dslr_bench_r3.log
 BENCH_WORKLOAD=dslr BENCH_BATCH=4 DL_SWIN_GAN_CG_UNROLL=1 timeout 1800 python bench.py 2>/dev/null | tail -1 | tee -a runs/dslr_bench_r3.log
+
+stamp "6: headline batched scaling point (B=16, remat)"
+BENCH_BATCH=16 BENCH_NO_BATCHED=1 timeout 1800 python bench.py 2>/dev/null | tail -1 | tee runs/headline_b16_r3.log

@@ -11,6 +11,8 @@ see BASELINE.md). Prints ONE JSON line:
 BENCH_WORKLOAD selects the workload:
   (default)  unrolled-ResNet train step          [the driver-recorded metric]
   recon      unrolled-ResNet inference frames/s  (north-star metric)
+  recon_e2e  deployment-path frames/s incl. host prep + transfer
+  recon_e2e_compact  same, over the packed acquired-lines wire format
   swin       unrolled-Swin train step            (configs/config_swin.yaml)
   gan        SwinGAN adversarial train step      (configs/config_swingan.yaml)
   dit        DiT DDPM_X diffusion train step     (configs/config_dit.yaml)
@@ -200,6 +202,73 @@ def bench_recon_e2e():
     fps = S * T / best
     _emit("unrolled_resnet_recon_e2e_throughput", round(fps, 1), "frames/s",
           baseline=BASELINE_RECON_FPS)
+
+
+def bench_recon_e2e_compact():
+    """Deployment-path throughput over the compact wire format: the host
+    packs only the ACQUIRED ky lines (+ maps) per slice — what a scanner
+    would actually send — and the device rebuilds the dense grid, derives
+    the mask, normalizes, inits, and reconstructs in one jitted call
+    (infer/compact.py). Same timing semantics as recon_e2e (host work
+    prefetch-overlapped, device-to-host sync at the end); the delta between
+    the two workloads is pure transfer economics."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.data.synthetic import make_cine_example
+    from dl_swin_gan_tpu.infer.compact import (
+        CompactReconstructor, CompactTransform, pad_lines, wire_bytes)
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "RES"
+    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
+    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
+    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
+    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
+    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
+    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg.AUG_TRAIN.CROP_READOUT = 0
+    cfg.OUTPUT_DIR = "/tmp/bench"
+
+    T, Y, X, C, E = 20, 180, 64, 8, 2
+    if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" (smoke tests)
+        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+    S = int(os.environ.get("BENCH_SLICES", "16"))
+    raw = [make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=s)[:2]
+           for s in range(S)]
+    transform = CompactTransform(cfg, acceleration=12.0)  # 12x protocol
+
+    # static line budget: global max over the set, rounded up (recompile
+    # only if a future slice exceeds it)
+    probe = [transform(*r) for r in raw]
+    n_max = -(-max(p["line_idx"].shape[-1] for p in probe) // 4) * 4
+    probe = [pad_lines(p, n_max) for p in probe]
+    mb_per_slice = wire_bytes(probe[0]) / 1e6
+
+    batch0 = {k: np.asarray(v)[None] for k, v in probe[0].items()}
+    recon = CompactReconstructor(cfg, None, ny=Y)
+    recon.params = recon.init_params(batch0)
+    _ = recon(batch0)  # compile + warm
+
+    def run_once():
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(
+                lambda r: {k: np.asarray(v)[None] for k, v in
+                           pad_lines(transform(*r), n_max).items()}, r)
+                for r in raw]
+            t0 = time.perf_counter()
+            out = [recon(f.result()) for f in futs]
+            _ = np.asarray(out[-1]).ravel()[0]
+            return time.perf_counter() - t0
+
+    best = min(run_once() for _ in
+               range(int(os.environ.get("BENCH_REPEATS", "3"))))
+    fps = S * T / best
+    _emit("unrolled_resnet_recon_e2e_compact_throughput", round(fps, 1),
+          "frames/s", baseline=BASELINE_RECON_FPS,
+          extra={"wire_mb_per_slice": round(mb_per_slice, 2)})
 
 
 def bench_trainer_workload(kind: str):
@@ -446,6 +515,8 @@ if __name__ == "__main__":
         bench_recon()
     elif wl == "recon_e2e":
         bench_recon_e2e()
+    elif wl == "recon_e2e_compact":
+        bench_recon_e2e_compact()
     elif wl in ("swin", "dit", "latte", "dslr", "gan"):
         bench_trainer_workload(wl)
     else:

@@ -13,12 +13,62 @@ identical to the reference's two-conv expansion (resnet3d.py:92-106) but a
 single large MXU op instead of four small ones.
 """
 
+import os
 from typing import Any, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _conv3d_tap(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Exact temporal-tap formulation of a SAME 3D conv (no bias).
+
+    conv3d(x, k)[t] == sum_dt conv2d(x[t+dt-kt//2], k[dt]) with zero time
+    padding — identical math, different XLA lowering. Motivation: XLA's
+    conv3d GRAD-WEIGHT kernel tiles pathologically (measured ~5-6x the
+    forward cost vs ~1x for the 2D convs at batch N*T; see
+    scripts/profile_backward.py), and the conv backward is ~77% of the
+    headline train step. Select with DL_SWIN_GAN_CONV3D=tap (read at trace
+    time).
+
+    x: [N, T, Y, X, Cin] channels-last; kernel: [kt, ky, kx, Cin, Cout].
+    """
+    kt, n, t = kernel.shape[0], x.shape[0], x.shape[1]
+    pad = kt // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    dn = jax.lax.conv_dimension_numbers(
+        (n * t,) + x.shape[2:], kernel.shape[1:], ("NYXC", "YXIO", "NYXC"))
+    out = None
+    for dt in range(kt):
+        shifted = jax.lax.dynamic_slice_in_dim(xp, dt, t, axis=1)
+        flat = shifted.reshape((n * t,) + x.shape[2:])
+        o = jax.lax.conv_general_dilated(flat, kernel[dt], (1, 1), "SAME",
+                                         dimension_numbers=dn)
+        out = o if out is None else out + o
+    return out.reshape((n, t) + out.shape[1:])
+
+
+def conv_nd(x: jnp.ndarray, kernel: jnp.ndarray, dtype) -> jnp.ndarray:
+    """SAME-padded ND conv (no bias) in `dtype`, upcast to f32 after.
+
+    Dispatches 3D convs to the temporal-tap lowering when
+    DL_SWIN_GAN_CONV3D=tap (checked at trace time).
+    """
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    ndim = kernel.ndim - 2
+    # odd kt only: the tap's symmetric (kt//2, kt//2) time padding matches
+    # XLA SAME exactly for odd kernels; even kernels pad asymmetrically
+    if (ndim == 3 and kernel.shape[0] > 1 and kernel.shape[0] % 2 == 1
+            and os.environ.get("DL_SWIN_GAN_CONV3D", "xla") == "tap"):
+        out = _conv3d_tap(x, kernel)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,) * ndim, padding="SAME",
+            dimension_numbers=nn.linear._conv_dimension_numbers(x.shape))
+    return out.astype(jnp.float32)
 
 
 # torch nn.Conv*/nn.Linear default init twins: the reference trains its conv
@@ -122,23 +172,20 @@ class ComplexConv(nn.Module):
         kernel = jnp.concatenate([top, bot], axis=-2)  # [*K, 2cin, 2cout]
 
         xr = jnp.concatenate([x.real, x.imag], axis=-1)
-        ndim = len(self.kernel_size)
         # conv fully in self.dtype, upcast after (flax nn.Conv semantics):
         # a float32 preferred_element_type here breaks the VJP (f32 cotangent
         # vs bf16 kernel in the transpose conv); the TPU MXU accumulates in
         # f32 regardless, only the output rounds through self.dtype
-        out = jax.lax.conv_general_dilated(
-            xr.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1,) * ndim,
-            padding="SAME",
-            dimension_numbers=nn.linear._conv_dimension_numbers(xr.shape),
-        )
-        out = out.astype(jnp.float32) + jnp.concatenate([br, bi])
+        out = conv_nd(xr, kernel, self.dtype)
+        out = out + jnp.concatenate([br, bi])
         return jax.lax.complex(out[..., :cout], out[..., cout:])
 
 
-class Conv(nn.Module):
-    """Real ND conv with SAME padding (reference `Conv3d`, resnet3d.py:58-72)."""
+class _ConvParams(nn.Module):
+    """Kernel/bias holder + conv_nd lowering. Named "Conv_0" by its parent
+    so the param pytree ("Conv_0/kernel" [*k, Cin, Cout], "Conv_0/bias")
+    stays byte-identical to the previous flax nn.Conv nesting — existing
+    checkpoints restore unchanged."""
     features: int
     kernel_size: Tuple[int, ...]
     dtype: Any = jnp.float32
@@ -146,10 +193,26 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         fan_in = x.shape[-1] * int(np.prod(self.kernel_size))
-        out = nn.Conv(self.features, self.kernel_size, padding="SAME",
-                      dtype=self.dtype, kernel_init=torch_kernel_init,
-                      bias_init=torch_bias_init(fan_in))(x)
-        return out.astype(jnp.float32)
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        kernel = self.param("kernel", torch_kernel_init, kshape)
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        return conv_nd(x, kernel, self.dtype) + bias
+
+
+class Conv(nn.Module):
+    """Real ND conv with SAME padding (reference `Conv3d`, resnet3d.py:58-72).
+
+    The conv lowering goes through conv_nd (DL_SWIN_GAN_CONV3D selects the
+    xla conv3d vs the temporal-tap formulation at trace time).
+    """
+    features: int
+    kernel_size: Tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return _ConvParams(self.features, self.kernel_size, self.dtype,
+                           name="Conv_0")(x)
 
 
 class SeparableConv(nn.Module):

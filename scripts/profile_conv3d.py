@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Headline train step: XLA conv3d vs temporal-tap lowering, interleaved.
+
+profile_backward.py isolated the conv3d GRAD-WEIGHT pathology on a bare
+conv stack; this measures what actually matters — the FULL jitted headline
+train step (forward+backward+Adam, configs/basic/example.yaml operating
+point) under both lowerings, traced in one process and timed interleaved
+(shared-pool discipline: variants in ONE process, min over repeats).
+
+DL_SWIN_GAN_CONV3D is read at trace time, so each variant is traced+compiled
+under its own env value; numerical equivalence of the per-variant loss is
+asserted before timing.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_conv3d.py
+  env: PROBE_BATCHES="1,8" (remat auto-on for B>1), PROFILE_DTYPE=bfloat16,
+       BENCH_ITERS/BENCH_REPEATS, BENCH_SHAPE="T,Y,X,C"
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_step(cfg_dtype, remat, B, T, Y, X, C, E):
+    import jax
+
+    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.data.preprocess import CinePreprocess
+    from dl_swin_gan_tpu.data.synthetic import make_cine_example
+    from dl_swin_gan_tpu.models import build_denoiser
+    from dl_swin_gan_tpu.solvers import build_solver
+    from dl_swin_gan_tpu.train import packing
+    from dl_swin_gan_tpu.train.losses import compute_metrics, select_loss
+    from dl_swin_gan_tpu.train.train_state import make_optimizer
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "RES"
+    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
+    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
+    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
+    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
+    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
+    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = cfg_dtype
+    cfg.MODEL.PARAMETERS.GRAD_CHECKPOINT = remat
+    cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
+    cfg.OUTPUT_DIR = "/tmp/profile"
+
+    pre = CinePreprocess(cfg, use_seed=True)
+    exs = []
+    for b in range(B):
+        k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=b)
+        exs.append(pre(k, m, t, f"prof_{b}"))
+    batch = packing.pack({key: np.stack([e[key] for e in exs])
+                          for key in exs[0]})
+    batch = jax.tree.map(jax.device_put, batch)
+
+    model = build_solver(cfg, lambda: build_denoiser(cfg))
+    tx = make_optimizer(cfg)
+
+    def _init(packed):
+        b = packing.unpack(packed)
+        params = model.init(jax.random.PRNGKey(0), b["kspace"], b["maps"],
+                            b["mask"], x0=b["init_image"])["params"]
+        return params, tx.init(params)
+
+    params, opt_state = jax.jit(_init)(batch)
+
+    def loss_fn(p, b):
+        pred = model.apply({"params": p}, b["kspace"], b["maps"], b["mask"],
+                           x0=b["init_image"])
+        return select_loss(compute_metrics(pred, b["target"], tag="T"),
+                           "complex_l1", "T")
+
+    def full(params, opt_state, packed):
+        b = packing.unpack(packed)
+        loss, grads = jax.value_and_grad(loss_fn)(params, b)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return full, (params, opt_state, batch)
+
+
+def main():
+    import jax
+
+    T, Y, X, C, E = 20, 180, 64, 8, 2
+    if os.environ.get("BENCH_SHAPE"):
+        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+    dtype = os.environ.get("PROFILE_DTYPE", "float32")
+    batches = [int(v) for v in
+               os.environ.get("PROBE_BATCHES", "1,8").split(",")]
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+
+    def sync(t):
+        np.asarray(jax.tree.leaves(t)[0]).ravel()
+
+    for B in batches:
+        remat = B > 1
+        step_py, args = build_step(dtype, remat, B, T, Y, X, C, E)
+        compiled, loss0 = {}, {}
+        for mode in ("xla", "tap"):
+            os.environ["DL_SWIN_GAN_CONV3D"] = mode
+            fn = jax.jit(lambda p, o, b, _f=step_py: _f(p, o, b))
+            p2, o2, loss = fn(*args)
+            sync(p2)
+            compiled[mode], loss0[mode] = fn, float(loss)
+        os.environ.pop("DL_SWIN_GAN_CONV3D", None)
+        rel = abs(loss0["xla"] - loss0["tap"]) / max(abs(loss0["xla"]), 1e-12)
+        print(f"B={B} loss xla={loss0['xla']:.6f} tap={loss0['tap']:.6f} "
+              f"rel={rel:.2e}")
+        assert rel < 1e-4, "tap lowering diverges from xla conv3d"
+
+        best = {m: float("inf") for m in compiled}
+        for _ in range(repeats):
+            for mode, fn in compiled.items():
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(iters):
+                    out = fn(*args)
+                sync(out[0])
+                best[mode] = min(best[mode],
+                                 (time.perf_counter() - t0) / iters)
+        bx, bt = best["xla"] * 1e3, best["tap"] * 1e3
+        print(f"B={B} dtype={dtype} remat={remat}: "
+              f"xla {bx:8.2f} ms/it ({B/best['xla']:.2f} samples/s) | "
+              f"tap {bt:8.2f} ms/it ({B/best['tap']:.2f} samples/s) | "
+              f"tap speedup {bx/bt:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,34 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _conv3d_tapc(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Channel-concat variant of the temporal-tap lowering (same math).
+
+    Stacks the kt time-shifted views along channels and runs ONE 2D conv
+    with a [ky, kx, kt*Cin, Cout] kernel — a single large MXU contraction
+    per layer instead of kt smaller ones, at kt-times the input HBM
+    materialization. Select with DL_SWIN_GAN_CONV3D=tapc.
+
+    x: [N, T, Y, X, Cin] channels-last; kernel: [kt, ky, kx, Cin, Cout].
+    """
+    kt, n, t = kernel.shape[0], x.shape[0], x.shape[1]
+    cin = kernel.shape[3]
+    pad = kt // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    taps = [jax.lax.dynamic_slice_in_dim(xp, dt, t, axis=1)
+            for dt in range(kt)]
+    cat = jnp.concatenate(taps, axis=-1).reshape(
+        (n * t,) + x.shape[2:4] + (kt * cin,))
+    # input-channel index dt*cin + c must pick kernel[dt, ..., c, :]
+    wk = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
+        kernel.shape[1:3] + (kt * cin, kernel.shape[4]))
+    dn = jax.lax.conv_dimension_numbers(
+        cat.shape, wk.shape, ("NYXC", "YXIO", "NYXC"))
+    out = jax.lax.conv_general_dilated(cat, wk, (1, 1), "SAME",
+                                       dimension_numbers=dn)
+    return out.reshape((n, t) + out.shape[1:])
+
+
 def _conv3d_tap(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Exact temporal-tap formulation of a SAME 3D conv (no bias).
 
@@ -59,11 +87,12 @@ def conv_nd(x: jnp.ndarray, kernel: jnp.ndarray, dtype) -> jnp.ndarray:
     x = x.astype(dtype)
     kernel = kernel.astype(dtype)
     ndim = kernel.ndim - 2
+    mode = os.environ.get("DL_SWIN_GAN_CONV3D", "xla")
     # odd kt only: the tap's symmetric (kt//2, kt//2) time padding matches
     # XLA SAME exactly for odd kernels; even kernels pad asymmetrically
     if (ndim == 3 and kernel.shape[0] > 1 and kernel.shape[0] % 2 == 1
-            and os.environ.get("DL_SWIN_GAN_CONV3D", "xla") == "tap"):
-        out = _conv3d_tap(x, kernel)
+            and mode in ("tap", "tapc")):
+        out = (_conv3d_tap if mode == "tap" else _conv3d_tapc)(x, kernel)
     else:
         out = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1,) * ndim, padding="SAME",

@@ -83,8 +83,32 @@ def main():
             v = jax.nn.relu(conv2p1(v, w))
         return v
 
+    # channel-concat variant: one 2D conv over [.., 3*C] inputs (kernel
+    # reshaped [3,3,3C,C]) — same math, one big MXU op per layer instead of
+    # three, at 3x input HBM materialization.
+    dnc = jax.lax.conv_dimension_numbers(
+        (B * T, Y, X, 3 * C), (3, 3, 3 * C, C), ("NYXC", "YXIO", "NYXC"))
+
+    def convcat(v, w):
+        nb, nt = v.shape[0], v.shape[1]
+        pad = jnp.pad(v, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        taps = [jax.lax.dynamic_slice_in_dim(pad, dt, nt, axis=1)
+                for dt in range(3)]
+        cat = jnp.concatenate(taps, axis=-1).reshape(
+            (nb * nt, Y, X, 3 * C))
+        wk = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape((3, 3, 3 * C, C))
+        o = jax.lax.conv_general_dilated(
+            cat, wk, (1, 1), "SAME", dimension_numbers=dnc)
+        return o.reshape((nb, nt, Y, X, C))
+
+    def stackcat(ws, v):
+        for w in ws:
+            v = jax.nn.relu(convcat(v, w))
+        return v
+
     builds = {}
-    for name, stack in [("conv3d", stack3d), ("tap2p1", stack2p1)]:
+    for name, stack in [("conv3d", stack3d), ("tap2p1", stack2p1),
+                        ("tapcat", stackcat)]:
         fwd = jax.jit(lambda ws, v, s=stack: jnp.sum(s(ws, v) ** 2))
         gx = jax.jit(jax.grad(lambda v, ws, s=stack: jnp.sum(s(ws, v) ** 2)))
         gp = jax.jit(jax.grad(lambda ws, v, s=stack: jnp.sum(s(ws, v) ** 2)))
@@ -92,10 +116,11 @@ def main():
 
     # numerical equivalence of the two formulations (before any timing)
     y3 = np.asarray(jax.jit(lambda ws, v: stack3d(ws, v))(ws, x))
-    y2 = np.asarray(jax.jit(lambda ws, v: stack2p1(ws, v))(ws, x))
-    err = np.abs(y3 - y2).max() / max(np.abs(y3).max(), 1e-9)
-    print(f"tap2p1 vs conv3d forward max rel err: {err:.2e}")
-    assert err < 2e-3, err  # f32 summation-order roundoff across L layers
+    for nm, st in [("tap2p1", stack2p1), ("tapcat", stackcat)]:
+        y2 = np.asarray(jax.jit(lambda ws, v, s=st: s(ws, v))(ws, x))
+        err = np.abs(y3 - y2).max() / max(np.abs(y3).max(), 1e-9)
+        print(f"{nm} vs conv3d forward max rel err: {err:.2e}")
+        assert err < 2e-3, err  # f32 summation-order roundoff across layers
 
     def sync(t):
         np.asarray(jax.tree.leaves(t)[0]).ravel()

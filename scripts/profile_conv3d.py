@@ -96,6 +96,7 @@ def main():
     dtype = os.environ.get("PROFILE_DTYPE", "float32")
     batches = [int(v) for v in
                os.environ.get("PROBE_BATCHES", "1,8").split(",")]
+    modes = os.environ.get("PROBE_MODES", "xla,tap").split(",")
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
@@ -106,17 +107,20 @@ def main():
         remat = B > 1
         step_py, args = build_step(dtype, remat, B, T, Y, X, C, E)
         compiled, loss0 = {}, {}
-        for mode in ("xla", "tap"):
+        for mode in modes:
             os.environ["DL_SWIN_GAN_CONV3D"] = mode
             fn = jax.jit(lambda p, o, b, _f=step_py: _f(p, o, b))
             p2, o2, loss = fn(*args)
             sync(p2)
             compiled[mode], loss0[mode] = fn, float(loss)
         os.environ.pop("DL_SWIN_GAN_CONV3D", None)
-        rel = abs(loss0["xla"] - loss0["tap"]) / max(abs(loss0["xla"]), 1e-12)
-        print(f"B={B} loss xla={loss0['xla']:.6f} tap={loss0['tap']:.6f} "
-              f"rel={rel:.2e}")
-        assert rel < 1e-4, "tap lowering diverges from xla conv3d"
+        base_mode = modes[0]
+        print(f"B={B} loss " + " ".join(
+            f"{m}={loss0[m]:.6f}" for m in modes))
+        for m in modes[1:]:
+            rel = (abs(loss0[base_mode] - loss0[m])
+                   / max(abs(loss0[base_mode]), 1e-12))
+            assert rel < 1e-4, f"{m} lowering diverges from {base_mode}: {rel}"
 
         best = {m: float("inf") for m in compiled}
         for _ in range(repeats):
@@ -128,11 +132,11 @@ def main():
                 sync(out[0])
                 best[mode] = min(best[mode],
                                  (time.perf_counter() - t0) / iters)
-        bx, bt = best["xla"] * 1e3, best["tap"] * 1e3
-        print(f"B={B} dtype={dtype} remat={remat}: "
-              f"xla {bx:8.2f} ms/it ({B/best['xla']:.2f} samples/s) | "
-              f"tap {bt:8.2f} ms/it ({B/best['tap']:.2f} samples/s) | "
-              f"tap speedup {bx/bt:.2f}x")
+        cols = " | ".join(
+            f"{m} {best[m]*1e3:8.2f} ms/it ({B/best[m]:.2f} samples/s, "
+            f"{best[base_mode]/best[m]:.2f}x vs {base_mode})"
+            for m in modes)
+        print(f"B={B} dtype={dtype} remat={remat}: {cols}")
 
 
 if __name__ == "__main__":

@@ -7,8 +7,9 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 stamp() { echo "[tap $(date +%H:%M:%S)] $*"; }
 
-stamp "1: tap-vs-xla conv3d lowering, full headline train step (B=1,8,16)"
-PROBE_BATCHES=1,8,16 timeout 5400 python scripts/profile_conv3d.py 2>&1 \
+stamp "1: conv3d lowering (xla vs tap vs tapc), full headline train step"
+PROBE_MODES=xla,tap,tapc PROBE_BATCHES=1,8 timeout 5400 \
+    python scripts/profile_conv3d.py 2>&1 \
     | grep -v WARNING | tee runs/profile_conv3d.log
 
 stamp "2: deployment-path e2e recon, compact wire format vs dense (one session)"

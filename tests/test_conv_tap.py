@@ -22,7 +22,8 @@ def _run(monkeypatch, mode, fn, *args):
     return jax.jit(fn)(*args)  # fresh trace per call: env read at trace time
 
 
-def test_real_conv_tap_matches_xla(monkeypatch):
+@pytest.mark.parametrize("mode", ["tap", "tapc"])
+def test_real_conv_tap_matches_xla(monkeypatch, mode):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.standard_normal((2, T, Y, X, 5)).astype(np.float32))
     m = Conv(7, (3, 3, 3))
@@ -33,7 +34,7 @@ def test_real_conv_tap_matches_xla(monkeypatch):
         return m.apply({"params": p}, v)
 
     out_x = _run(monkeypatch, "xla", fwd, params, x)
-    out_t = _run(monkeypatch, "tap", fwd, params, x)
+    out_t = _run(monkeypatch, mode, fwd, params, x)
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_x),
                                rtol=1e-5, atol=1e-5)
 
@@ -41,13 +42,14 @@ def test_real_conv_tap_matches_xla(monkeypatch):
         return jnp.sum(m.apply({"params": p}, v) ** 2)
 
     gx = _run(monkeypatch, "xla", jax.grad(loss), params, x)
-    gt = _run(monkeypatch, "tap", jax.grad(loss), params, x)
+    gt = _run(monkeypatch, mode, jax.grad(loss), params, x)
     for kx, kt in zip(jax.tree.leaves(gx), jax.tree.leaves(gt)):
         np.testing.assert_allclose(np.asarray(kt), np.asarray(kx),
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_complex_conv_tap_matches_xla(monkeypatch):
+@pytest.mark.parametrize("mode", ["tap", "tapc"])
+def test_complex_conv_tap_matches_xla(monkeypatch, mode):
     rng = np.random.RandomState(1)
     x = jnp.asarray((rng.standard_normal((1, T, Y, X, 4))
                      + 1j * rng.standard_normal((1, T, Y, X, 4))
@@ -76,12 +78,14 @@ def test_even_temporal_kernel_routes_to_xla(monkeypatch):
         return m.apply({"params": p}, v)
 
     out_x = _run(monkeypatch, "xla", fwd, params, x)
-    out_t = _run(monkeypatch, "tap", fwd, params, x)
-    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out_x))
+    for mode in ("tap", "tapc"):
+        out_t = _run(monkeypatch, mode, fwd, params, x)
+        np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out_x))
 
 
+@pytest.mark.parametrize("mode", ["tap", "tapc"])
 @pytest.mark.parametrize("use_complex", [False, True])
-def test_trunk_tap_matches_xla(monkeypatch, use_complex):
+def test_trunk_tap_matches_xla(monkeypatch, use_complex, mode):
     rng = np.random.RandomState(2)
     x = jnp.asarray((rng.standard_normal((1, 2, T, Y, X))
                      + 1j * rng.standard_normal((1, 2, T, Y, X))
@@ -94,7 +98,7 @@ def test_trunk_tap_matches_xla(monkeypatch, use_complex):
         return jnp.abs(m.apply({"params": p}, v))
 
     out_x = _run(monkeypatch, "xla", fwd, params, x)
-    out_t = _run(monkeypatch, "tap", fwd, params, x)
+    out_t = _run(monkeypatch, mode, fwd, params, x)
     ref = np.abs(np.asarray(out_x)).max()
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_x),
                                rtol=1e-4, atol=1e-5 * max(ref, 1.0))

@@ -65,7 +65,7 @@ def build_denoiser(cfg, deterministic: bool = True):
             depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
             patch_size=tuple(p.PATCH_SIZE), learn_sigma=p.LEARN_SIGMA,
             num_blocks=p.NUM_RESBLOCKS, circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
-            deterministic=deterministic,
+            deterministic=deterministic, dtype=dtype,
         )
     if model_type == "SWIN_DIFF":
         from dl_swin_gan_tpu.models.swin_diff import SwinDiffNet
@@ -84,6 +84,6 @@ def build_denoiser(cfg, deterministic: bool = True):
             depth=p.NUM_LAYERS, num_heads=p.NUM_HEADS,
             patch_size=tuple(p.PATCH_SIZE)[-1], learn_sigma=p.LEARN_SIGMA,
             num_blocks=p.NUM_RESBLOCKS, circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
-            deterministic=deterministic,
+            deterministic=deterministic, dtype=dtype,
         )
     raise ValueError(f"Unknown MODEL_TYPE: {model_type}")

@@ -23,7 +23,7 @@ solver-layout complex [N, E, T, Y, X].
 """
 
 import math
-from typing import Tuple
+from typing import Any, Tuple
 
 import numpy as np
 import jax
@@ -147,22 +147,30 @@ def pos_embed_2d(dim: int, grid: Tuple[int, int]) -> np.ndarray:
 # ---------------------------------------------------------------- attention
 
 class Attention(nn.Module):
-    """Plain multi-head self-attention (timm-equivalent, qkv_bias=True)."""
+    """Plain multi-head self-attention (timm-equivalent, qkv_bias=True).
+
+    `dtype` selects the matmul compute element type (qkv/proj projections
+    and both attention einsums run in it; softmax statistics stay float32;
+    params stay float32). bfloat16 here feeds the MXU at its full issue
+    rate — the residual stream outside this module stays float32.
+    """
     dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         h = self.num_heads
         head = C // h
-        qkv = nn.Dense(3 * C, name="qkv")(x)
+        qkv = nn.Dense(3 * C, name="qkv", dtype=self.dtype)(x)
         qkv = qkv.reshape(B, N, 3, h, head).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * head ** -0.5, qkv[1], qkv[2]
-        attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k), axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(C, name="proj")(out)
+        return nn.Dense(C, name="proj", dtype=self.dtype)(out)
 
 
 def modulate(x, shift, scale):
@@ -176,12 +184,13 @@ def _ln(x):
 class Mlp(nn.Module):
     hidden: int
     out: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(self.out)(x)
+        return nn.Dense(self.out, dtype=self.dtype)(x)
 
 
 def factorize(x, grid, flag):
@@ -210,6 +219,7 @@ class DiTBlockFactor(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, c, grid):
@@ -220,7 +230,8 @@ class DiTBlockFactor(nn.Module):
         (sh_sp, sc_sp, g_sp, sh_tm, sc_tm, g_tm,
          sh_mlp, sc_mlp, g_mlp) = jnp.split(mod, 9, axis=1)
 
-        attn = Attention(self.hidden_size, self.num_heads, name="attn")
+        attn = Attention(self.hidden_size, self.num_heads, name="attn",
+                         dtype=self.dtype)
 
         # first attention: over frames per spatial location (flag=1)
         resid = x
@@ -235,8 +246,8 @@ class DiTBlockFactor(nn.Module):
         h = unfactorize(attn(factorize(h, grid, 0)), grid, 0)
         x = g_tm[:, None] * h + resid
 
-        h = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size)(
-            modulate(_ln(x), sh_mlp, sc_mlp))
+        h = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                dtype=self.dtype)(modulate(_ln(x), sh_mlp, sc_mlp))
         return x + g_mlp[:, None] * h
 
 
@@ -245,6 +256,7 @@ class DiTBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, c):
@@ -254,10 +266,10 @@ class DiTBlock(nn.Module):
                        name="adaLN_modulation")(nn.silu(c))
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=1)
         x = x + g_a[:, None] * Attention(self.hidden_size, self.num_heads,
-                                         name="attn")(
+                                         name="attn", dtype=self.dtype)(
             modulate(_ln(x), sh_a, sc_a))
         x = x + g_m[:, None] * Mlp(int(self.hidden_size * self.mlp_ratio),
-                                   self.hidden_size)(
+                                   self.hidden_size, dtype=self.dtype)(
             modulate(_ln(x), sh_m, sc_m))
         return x
 
@@ -267,6 +279,7 @@ class FinalLayer(nn.Module):
     hidden_size: int
     patch_vol: int
     out_channels: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, c):
@@ -278,7 +291,8 @@ class FinalLayer(nn.Module):
         x = modulate(_ln(x), shift, scale)
         return nn.Dense(self.patch_vol * self.out_channels,
                         kernel_init=nn.initializers.zeros,
-                        bias_init=nn.initializers.zeros, name="linear")(x)
+                        bias_init=nn.initializers.zeros, name="linear",
+                        dtype=self.dtype)(x).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------- DiT top
@@ -296,6 +310,7 @@ class DiT(nn.Module):
     learn_sigma: bool = False
     factorized: bool = True
     deterministic: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, t, y):
@@ -311,8 +326,9 @@ class DiT(nn.Module):
         h = nn.Conv(self.hidden_size, kernel_size=(p0, p1, p2),
                     strides=(p0, p1, p2), padding="VALID",
                     kernel_init=nn.initializers.xavier_uniform(),
-                    name="x_embedder")(h)
+                    name="x_embedder", dtype=self.dtype)(h)
         tokens = h.reshape(N, Gf * Gh * Gw, self.hidden_size)
+        # f32 pos-embed add keeps the residual stream float32 under bf16
         tokens = tokens + jnp.asarray(
             pos_embed_3d(self.hidden_size, (Gf, Gh, Gw)))[None]
 
@@ -327,13 +343,15 @@ class DiT(nn.Module):
         for i in range(self.depth):
             if self.factorized:
                 tokens = DiTBlockFactor(self.hidden_size, self.num_heads,
-                                        self.mlp_ratio)(tokens, c, grid)
+                                        self.mlp_ratio,
+                                        dtype=self.dtype)(tokens, c, grid)
             else:
                 tokens = DiTBlock(self.hidden_size, self.num_heads,
-                                  self.mlp_ratio)(tokens, c)
+                                  self.mlp_ratio,
+                                  dtype=self.dtype)(tokens, c)
 
         tokens = FinalLayer(self.hidden_size, p0 * p1 * p2, out_c,
-                            name="final_layer")(tokens, c)
+                            name="final_layer", dtype=self.dtype)(tokens, c)
 
         # unpatchify2 (reference :515-543) — channels-last variant
         h = tokens.reshape(N, Gf, Gh, Gw, p0, p1, p2, out_c)
@@ -375,6 +393,7 @@ class DiTResNet(nn.Module):
     learn_sigma: bool = False
     num_classes: int = 1
     deterministic: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, t, y):
@@ -387,12 +406,14 @@ class DiTResNet(nn.Module):
         in_chans = h.shape[-1]
         h = circular_pad_time(h, pad)
 
-        res = ConvBlock(self.hidden_size, k, act_type="none", name="SFE")(h)
+        res = ConvBlock(self.hidden_size, k, act_type="none", name="SFE",
+                        dtype=self.dtype)(h)
         h = DiT(in_channels=self.hidden_size, hidden_size=self.hidden_size,
                 patch_size=self.patch_size, depth=self.depth,
                 num_heads=self.num_heads, learn_sigma=self.learn_sigma,
                 num_classes=self.num_classes,
-                deterministic=self.deterministic, name="DiT")(res, t, y)
+                deterministic=self.deterministic, name="DiT",
+                dtype=self.dtype)(res, t, y)
 
         out_mult = 2 if self.learn_sigma else 1
         if self.learn_sigma:
@@ -401,13 +422,13 @@ class DiTResNet(nn.Module):
             # residual+conv path and variance channels through their own conv
             mean, var = jnp.split(h, 2, axis=-1)
             mean = ConvBlock(in_chans, k, act_type=self.act_type,
-                             name="final_layer")(mean + res)
+                             name="final_layer", dtype=self.dtype)(mean + res)
             var = ConvBlock(in_chans, k, act_type=self.act_type,
-                            name="var_layer")(var)
+                            name="var_layer", dtype=self.dtype)(var)
             h = jnp.concatenate([mean, var], axis=-1)
         else:
             h = ConvBlock(in_chans, k, act_type=self.act_type,
-                          name="final_layer")(h + res)
+                          name="final_layer", dtype=self.dtype)(h + res)
         h = crop_time(h, pad)
 
         c = h.shape[-1] // (2 * out_mult)

@@ -12,6 +12,8 @@ real channels directly, kept faithful here).
 """
 
 import math
+from typing import Any
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -31,6 +33,7 @@ class TransformerBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, c):
@@ -40,10 +43,10 @@ class TransformerBlock(nn.Module):
                        name="adaLN_modulation")(nn.silu(c))
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=1)
         x = x + g_a[:, None] * Attention(self.hidden_size, self.num_heads,
-                                         name="attn")(
+                                         name="attn", dtype=self.dtype)(
             modulate(_ln(x), sh_a, sc_a))
         x = x + g_m[:, None] * Mlp(int(self.hidden_size * self.mlp_ratio),
-                                   self.hidden_size)(
+                                   self.hidden_size, dtype=self.dtype)(
             modulate(_ln(x), sh_m, sc_m))
         return x
 
@@ -65,6 +68,7 @@ class Latte(nn.Module):
     extras: int = 1              # 1: t only; 2: t + class label
     learn_sigma: bool = False
     deterministic: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, t, y=None):
@@ -81,10 +85,11 @@ class Latte(nn.Module):
         h = nn.Conv(self.hidden_size, kernel_size=(p, p), strides=(p, p),
                     padding="VALID",
                     kernel_init=nn.initializers.xavier_uniform(),
-                    name="x_embedder")(h)
+                    name="x_embedder", dtype=self.dtype)(h)
         tokens = h.reshape(N * F, Gh * Gw, self.hidden_size)
         n_sp = Gh * Gw
 
+        # f32 pos-embed add keeps the residual stream float32 under bf16
         pos = jnp.asarray(pos_embed_2d(self.hidden_size, (Gh, Gw)))[None]
         tokens = tokens + pos
         temp_embed = jnp.asarray(
@@ -106,7 +111,8 @@ class Latte(nn.Module):
         for i in range(0, self.depth, 2):
             c = ts_spatial + (y_spatial if self.extras == 2 else 0.0)
             tokens = TransformerBlock(self.hidden_size, self.num_heads,
-                                      self.mlp_ratio)(tokens, c)
+                                      self.mlp_ratio,
+                                      dtype=self.dtype)(tokens, c)
 
             # -> temporal grouping [(N n_sp), F, D]
             tokens = tokens.reshape(N, F, n_sp, self.hidden_size)
@@ -117,7 +123,8 @@ class Latte(nn.Module):
 
             c = ts_temporal + (y_temporal if self.extras == 2 else 0.0)
             tokens = TransformerBlock(self.hidden_size, self.num_heads,
-                                      self.mlp_ratio)(tokens, c)
+                                      self.mlp_ratio,
+                                      dtype=self.dtype)(tokens, c)
 
             # -> back to spatial grouping [(N F), n_sp, D]
             tokens = tokens.reshape(N, n_sp, F, self.hidden_size)
@@ -126,7 +133,7 @@ class Latte(nn.Module):
 
         c = ts_spatial + (y_spatial if self.extras == 2 else 0.0)
         tokens = FinalLayer(self.hidden_size, p * p, out_c,
-                            name="final_layer")(tokens, c)
+                            name="final_layer", dtype=self.dtype)(tokens, c)
 
         # unpatchify2 (2D) + center-crop-of-end-padding quirk (:450-473)
         h = tokens.reshape(N * F, Gh, Gw, p, p, out_c)
@@ -165,6 +172,7 @@ class LatteNet(nn.Module):
     learn_sigma: bool = False
     num_classes: int = 1
     deterministic: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, t, y):
@@ -180,7 +188,8 @@ class LatteNet(nn.Module):
                   patch_size=self.patch_size, depth=self.depth,
                   num_heads=self.num_heads, learn_sigma=self.learn_sigma,
                   num_classes=self.num_classes,
-                  deterministic=self.deterministic, name="Latte")(h, t, y)
+                  deterministic=self.deterministic, name="Latte",
+                  dtype=self.dtype)(h, t, y)
         h = crop_time(h, pad)
 
         out_mult = 2 if self.learn_sigma else 1

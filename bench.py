@@ -295,6 +295,9 @@ def bench_trainer_workload(kind: str):
                                 yaml), freeze=False)
     cfg.MODEL.STRATEGY = "none"   # single-chip bench
     cfg.OUTPUT_DIR = "/tmp/bench"
+    if os.environ.get("BENCH_DTYPE"):  # trunk compute dtype (convs and
+        # DiT/Latte attention+MLP both key off CONV_BLOCK.DTYPE)
+        cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = os.environ["BENCH_DTYPE"]
     cfg.freeze()
 
     T, Y, X, C, E = 20, 180, 64, 8, 2

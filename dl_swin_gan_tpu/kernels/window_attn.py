@@ -49,9 +49,14 @@ def _use_pallas() -> bool:
 # ---------------------------------------------------------------- reference
 
 def _attention_xla(q, k, v, bias, mask):
-    """q,k,v: [W, H, N, D]; bias [H, N, N]; mask [nW, N, N] or None."""
+    """q,k,v: [W, H, N, D]; bias [H, N, N]; mask [nW, N, N] or None.
+
+    Dtype contract: the QK and PV matmuls run in q/k/v's dtype (bf16 under
+    a bf16 trunk — full MXU issue rate); bias/mask adds and the softmax run
+    in float32; the output carries q's dtype back to the caller.
+    """
     scale = q.shape[-1] ** -0.5
-    s = jnp.einsum("whnd,whmd->whnm", q * scale, k)
+    s = jnp.einsum("whnd,whmd->whnm", q * scale, k).astype(jnp.float32)
     s = s + bias[None]
     if mask is not None:
         W = q.shape[0]
@@ -59,7 +64,7 @@ def _attention_xla(q, k, v, bias, mask):
         s = s.reshape(W // nW, nW, *s.shape[1:]) + mask[None, :, None]
         s = s.reshape(W, *s.shape[2:])
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("whnm,whmd->whnd", p, v)
+    return jnp.einsum("whnm,whmd->whnd", p.astype(v.dtype), v)
 
 
 # ---------------------------------------------------------------- kernels

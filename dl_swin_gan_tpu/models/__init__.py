@@ -57,6 +57,7 @@ def build_denoiser(cfg, deterministic: bool = True):
             depths=(6,), num_heads=(8,), window_size=(7, 8, 8),
             num_emaps=p.NUM_EMAPS, num_features=p.NUM_FEATURES,
             use_complex_layers=False, deterministic=deterministic,
+            dtype=dtype,
         )
     if model_type == "DIT":
         from dl_swin_gan_tpu.models.dit import DiTResNet

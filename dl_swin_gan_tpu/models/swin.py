@@ -26,7 +26,7 @@ TPU-first notes:
 import math
 from functools import reduce
 from operator import mul
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -123,11 +123,17 @@ class DropPath(nn.Module):
 
 
 class WindowAttention3D(nn.Module):
-    """W-MSA with 3D relative position bias (reference :88-170)."""
+    """W-MSA with 3D relative position bias (reference :88-170).
+
+    `dtype` selects the matmul compute element type (qkv/proj and the
+    attention einsums); softmax statistics, the bias table, params and the
+    residual stream outside stay float32.
+    """
     dim: int
     window_size: Tuple[int, int, int]
     num_heads: int
     qkv_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -143,7 +149,8 @@ class WindowAttention3D(nn.Module):
             nn.initializers.truncated_normal(0.02), (table_len, h))
         rel_index = jnp.asarray(_relative_position_index(ws)[:N, :N])
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv",
+                       dtype=self.dtype)(x)
         qkv = qkv.reshape(Bn, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
@@ -157,7 +164,7 @@ class WindowAttention3D(nn.Module):
         out = window_attention(q, k, v, bias, mask)
 
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
-        return nn.Dense(C, name="proj")(out)
+        return nn.Dense(C, name="proj", dtype=self.dtype)(out)
 
 
 class SwinBlock3D(nn.Module):
@@ -170,6 +177,7 @@ class SwinBlock3D(nn.Module):
     qkv_bias: bool = True
     drop_path: float = 0.0
     deterministic: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -199,7 +207,8 @@ class SwinBlock3D(nn.Module):
         # (video_swin...downsample.py:152-155), which selects different bias
         # entries than re-deriving the index for the small window would.
         wins = WindowAttention3D(self.dim, self.window_size, self.num_heads,
-                                 self.qkv_bias, name="attn")(wins, attn_mask)
+                                 self.qkv_bias, dtype=self.dtype,
+                                 name="attn")(wins, attn_mask)
         h = window_reverse(wins, ws, B, Dp, Hp, Wp)
 
         if any(s > 0 for s in ss):
@@ -212,10 +221,10 @@ class SwinBlock3D(nn.Module):
         # MLP part
         h = LayerNorm()(x)
         hidden = int(self.dim * self.mlp_ratio)
-        h = nn.Dense(hidden)(h)
+        h = nn.Dense(hidden, dtype=self.dtype)(h)
         # reference Mlp uses torch nn.GELU() = exact erf form (not tanh)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return x + DropPath(self.drop_path, self.deterministic)(h)
 
 
@@ -223,6 +232,7 @@ class PatchMerging(nn.Module):
     """2x2 spatial downsample: gather 4 -> norm -> linear 4C->2C
     (reference :276-309)."""
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -231,18 +241,21 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2],
                              x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]], axis=-1)
         x = LayerNorm()(x)
-        return nn.Dense(2 * self.dim, use_bias=False)(x)
+        return nn.Dense(2 * self.dim, use_bias=False,
+                        dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class PatchExpand(nn.Module):
     """2x2 spatial upsample: linear C->2C -> pixel shuffle -> crop -> norm
     (reference :311-338)."""
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
         B, D, H, W, C = x.shape
-        x = nn.Dense(2 * self.dim, use_bias=False)(x)
+        x = nn.Dense(2 * self.dim, use_bias=False,
+                     dtype=self.dtype)(x).astype(jnp.float32)
         c = (2 * self.dim) // 4
         x = x.reshape(B, D, H, W, 2, 2, c)
         x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, D, 2 * H, 2 * W, c)
@@ -265,6 +278,7 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = ()
     downsample: bool = False
     deterministic: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -276,9 +290,10 @@ class BasicLayer(nn.Module):
                 window_size=self.window_size,
                 shift_size=(0, 0, 0) if i % 2 == 0 else shift,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                drop_path=dp, deterministic=self.deterministic)(x)
+                drop_path=dp, deterministic=self.deterministic,
+                dtype=self.dtype)(x)
         if self.downsample:
-            x = PatchMerging(self.dim)(x)
+            x = PatchMerging(self.dim, dtype=self.dtype)(x)
         return x
 
 
@@ -295,6 +310,7 @@ class SwinTransformer3D(nn.Module):
     qkv_bias: bool = True
     drop_path_rate: float = 0.2
     deterministic: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -307,7 +323,8 @@ class SwinTransformer3D(nn.Module):
         pd, ph, pw = (-D0) % ps[0], (-H0) % ps[1], (-W0) % ps[2]
         h = jnp.pad(x, ((0, 0), (0, pd), (0, ph), (0, pw), (0, 0)))
         h = nn.Conv(self.embed_dim, kernel_size=ps, strides=ps,
-                    padding="VALID", name="patch_embed")(h)
+                    padding="VALID", name="patch_embed",
+                    dtype=self.dtype)(h).astype(jnp.float32)
 
         # stochastic depth decay rule
         total = sum(self.depths)
@@ -325,16 +342,17 @@ class SwinTransformer3D(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop_path=dpr[lo:lo + self.depths[i]],
                 downsample=(i < num_layers - 1),
-                deterministic=self.deterministic)(h)
+                deterministic=self.deterministic, dtype=self.dtype)(h)
 
         for j in range(num_layers - 1):
             target = sizes[num_layers - j - 2]
-            h = PatchExpand(int(self.embed_dim * 2 ** (num_layers - j - 1)))(
-                h, (target[2], target[3]))
+            h = PatchExpand(int(self.embed_dim * 2 ** (num_layers - j - 1)),
+                            dtype=self.dtype)(h, (target[2], target[3]))
 
         # ---- patch unembed: transposed conv + center crop (:481-531)
         h = nn.ConvTranspose(Cin, kernel_size=ps, strides=ps,
-                             padding="VALID", name="patch_unembed")(h)
+                             padding="VALID", name="patch_unembed",
+                             dtype=self.dtype)(h).astype(jnp.float32)
         dd = h.shape[1] - D0
         dh = h.shape[2] - H0
         dw = h.shape[3] - W0
@@ -364,6 +382,7 @@ class SwinNet3D(nn.Module):
     circular_pad: bool = True
     drop_path_rate: float = 0.2
     deterministic: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -377,7 +396,8 @@ class SwinNet3D(nn.Module):
         in_chans = h.shape[-1]
         h = circular_pad_time(h, pad)
 
-        h = ConvBlock(chans, k, act_type="none", name="SFE")(h)
+        h = ConvBlock(chans, k, act_type="none", name="SFE",
+                      dtype=self.dtype)(h)
 
         # x = SFE_out + DFE(SFE_out); no global input residual
         # (swin3D.py:424-429; DFE adds its own inner skip, :368)
@@ -389,14 +409,16 @@ class SwinNet3D(nn.Module):
                 depths=self.depths, num_heads=self.num_heads,
                 window_size=self.window_size,
                 drop_path_rate=self.drop_path_rate,
-                deterministic=self.deterministic)(h)
-            h = ConvBlock(chans, k, act_type=self.act_type)(h)
+                deterministic=self.deterministic, dtype=self.dtype)(h)
+            h = ConvBlock(chans, k, act_type=self.act_type,
+                          dtype=self.dtype)(h)
             h = h + blk_in
-        h = ConvBlock(chans, k, act_type=self.act_type)(h)
+        h = ConvBlock(chans, k, act_type=self.act_type, dtype=self.dtype)(h)
         h = h + dfe_in
         h = dfe_in + h  # res + DFE(res): the reference's extra skip (:427)
 
-        h = ConvBlock(in_chans, k, act_type=self.act_type)(h)
+        h = ConvBlock(in_chans, k, act_type=self.act_type,
+                      dtype=self.dtype)(h)
         h = crop_time(h, pad)
 
         c = h.shape[-1] // 2

@@ -48,7 +48,7 @@ def _forward(cfg, x, t):
     return params, apply
 
 
-@pytest.mark.parametrize("model_type", ["RES", "DIT", "Latte"])
+@pytest.mark.parametrize("model_type", ["RES", "SWIN", "DIT", "Latte"])
 def test_bf16_trunk_close_to_f32_with_finite_grads(model_type):
     rng = np.random.RandomState(0)
     x = jnp.asarray((rng.standard_normal((1, 2, 4, 16, 16))

@@ -28,9 +28,21 @@ def test_defaults_tree_keys():
     cfg.MODEL.NAME = "x"
 
 
-@pytest.mark.parametrize("name", ["basic/example.yaml", "config_se.yaml",
-                                  "config_swin.yaml", "config_dit.yaml",
-                                  "config_latte.yaml"])
+def _all_reference_configs():
+    """Every YAML in the reference tree, including the dslr_experiments
+    sweeps and config_recon.yaml. config_se_experimental.yaml is excluded:
+    it is invalid YAML in the reference itself (a broken `&anchor:` +
+    `!!python/object/apply` line at :12 that even yaml.safe_load rejects).
+    """
+    import glob
+    paths = sorted(glob.glob(os.path.join(REF_CONFIGS, "**", "*.yaml"),
+                             recursive=True))
+    return [os.path.relpath(p, REF_CONFIGS) for p in paths
+            if "se_experimental" not in p]
+
+
+@pytest.mark.parametrize(
+    "name", _all_reference_configs() or ["reference-unavailable"])
 def test_reference_configs_load_unchanged(name):
     """The reference's own YAML files must merge cleanly (key compatibility)."""
     path = os.path.join(REF_CONFIGS, name)

@@ -1,0 +1,104 @@
+"""Sharded-vs-single-device equivalence for the DSLR and GAN train steps.
+
+The unrolled step already has this equivalence proof
+(`test_models_solvers.py::test_sharded_train_step_matches_single_device`)
+and the driver dryrun executes all four trainers on a (data x fsdp) mesh,
+but a sharding regression in the DSLR or GAN *train step* (loss scaling,
+collective placement, discriminator update) would still pass a
+finite-loss dryrun. Here the SAME batch and init seed must produce the
+same first-step metrics on a 1-device mesh and on a 4x2 (data x fsdp)
+mesh (CPU, 8 virtual devices — tests/conftest.py).
+
+Reference semantics covered: `scripts/train_lr.py:115-144` (DSLR step) and
+the SwinGAN extension point (`run_script.sh:144-155`).
+"""
+
+import numpy as np
+import jax
+
+from dl_swin_gan_tpu.config import get_cfg
+from dl_swin_gan_tpu.data.preprocess import CinePreprocess
+from dl_swin_gan_tpu.data.synthetic import make_cine_example
+from dl_swin_gan_tpu.parallel.mesh import make_mesh, shard_batch
+from dl_swin_gan_tpu.train import packing
+
+
+def _batch(cfg, B, lr_decom=False, T=8, Y=32, X=24, C=4, E=2):
+    pre = CinePreprocess(cfg, use_seed=True, lr_decom=lr_decom)
+    exs = []
+    for b in range(B):
+        k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=b)
+        exs.append(pre(k, m, t, f"shard_{b}"))
+    return {k: np.stack([e[k] for e in exs]) for k in exs[0]}
+
+
+def _first_step_metrics(trainer, batch):
+    state = trainer.init_state(batch, seed=0)
+    trainer._build_steps()
+    packed = shard_batch(packing.pack(batch), trainer.mesh)
+    _, metrics = trainer._train_step(state, packed)
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def _assert_metrics_match(m1, m8):
+    assert set(m1) == set(m8)
+    for k in m1:
+        np.testing.assert_allclose(
+            m1[k], m8[k], rtol=2e-3, atol=1e-6,
+            err_msg=f"metric {k} diverges between 1-device and 4x2 mesh")
+
+
+def test_gan_sharded_step_matches_single_device(tmp_path):
+    from dl_swin_gan_tpu.train.gan_trainer import GANTrainer
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "RES"
+    p = cfg.MODEL.PARAMETERS
+    p.NUM_UNROLLS = 1
+    p.NUM_RESBLOCKS = 1
+    p.NUM_FEATURES = 8
+    p.NUM_EMAPS = 2
+    p.SLWIN_INIT = True
+    cfg.MODEL.GAN.DISC_FEATURES = 8
+    cfg.MODEL.GAN.DISC_LAYERS = 2
+    cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
+    cfg.AUG_TRAIN.UNDERSAMPLE.ACCELERATIONS = (3, 4)
+    cfg.AUG_TRAIN.UNDERSAMPLE.PARTIAL_KY = 0.0
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    batch = _batch(cfg, B=4)
+    m1 = _first_step_metrics(
+        GANTrainer(cfg, mesh=make_mesh(data=1, fsdp=1,
+                                       devices=jax.devices()[:1])), batch)
+    m8 = _first_step_metrics(
+        GANTrainer(cfg, mesh=make_mesh(data=4, fsdp=2)), batch)
+    assert {"Train/adv_loss", "Train/disc_loss"} <= set(m1)
+    _assert_metrics_match(m1, m8)
+
+
+def test_dslr_sharded_step_matches_single_device(tmp_path):
+    from dl_swin_gan_tpu.train.dslr_trainer import DSLRTrainer
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "RES"
+    cfg.MODEL.META_ARCHITECTURE = "dslr-cg-v1"
+    p = cfg.MODEL.PARAMETERS
+    p.NUM_UNROLLS = 1
+    p.NUM_RESBLOCKS = 1
+    p.NUM_FEATURES = 8
+    p.NUM_EMAPS = 2
+    p.DSLR.BLOCK_SIZE = 8
+    p.DSLR.NUM_BASIS = 3
+    p.DSLR.NUM_CG_STEPS = 2
+    cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
+    cfg.AUG_TRAIN.UNDERSAMPLE.ACCELERATIONS = (3, 4)
+    cfg.AUG_TRAIN.UNDERSAMPLE.PARTIAL_KY = 0.0
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    batch = _batch(cfg, B=4, lr_decom=True)
+    m1 = _first_step_metrics(
+        DSLRTrainer(cfg, mesh=make_mesh(data=1, fsdp=1,
+                                        devices=jax.devices()[:1])), batch)
+    m8 = _first_step_metrics(
+        DSLRTrainer(cfg, mesh=make_mesh(data=4, fsdp=2)), batch)
+    _assert_metrics_match(m1, m8)

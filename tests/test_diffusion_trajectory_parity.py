@@ -1,0 +1,190 @@
+"""Diffusion training-trajectory parity vs the PyTorch reference (DDPM_X).
+
+`test_train_trajectory_parity.py` closes the training-step parity layer for
+the unrolled path; this does the same for the DIFFUSION path — reference
+semantics are `train_DiT.py:233-297` (DDPM_X branch: submask 90/10 split,
+`diffusion.training_kspace_loss` on the fully-sampled target, Adam + inert
+StepLR, `configure_optimizers` at :343-354), ours is the same loss/optimizer
+composition the DiffusionTrainer step uses (`training_kspace_loss` +
+`make_optimizer` + p+u update).
+
+Randomness is pinned identically on both sides:
+  t      — one shared numpy draw per step;
+  noise  — OUR side draws q_sample noise from jax.random.normal(key); the
+           test precomputes that exact array and injects it into the
+           reference via its `noise=` parameter
+           (`gaussian_diffusion.py:837-846`);
+  submask — computed once on host by `submask_np` (itself the numpy twin of
+           train_DiT.py:136-158) and fed to BOTH frameworks' SenseModels.
+The deterministic slice of the trajectory is compared: the reference model
+runs in eval() so its 10% CFG label-drop (`DiT.py:240-248`) never fires,
+matching our deterministic solver — dropout draws are the one piece of
+train-mode randomness that cannot be shared across frameworks.
+
+Skips gracefully without the reference checkout (timm shim as in
+test_forward_parity_transformers).
+"""
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+def test_diffusion_training_trajectory_matches_reference():
+    from tests.test_forward_parity_transformers import (
+        _load_ref, _map_convblock, _map_dit_core)
+
+    ref_mod = _load_ref("unrolledDiT")
+    if ref_mod is None:
+        pytest.skip("reference/torch unavailable")
+    import sys
+    import warnings
+
+    import torch
+    sys.path.insert(0, REF)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from dl_cs.diffusion import create_diffusion as ref_create
+        from dl_cs.mri import transforms as ref_transforms
+
+    import jax
+    import jax.numpy as jnp
+
+    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.data.preprocess import CinePreprocess
+    from dl_swin_gan_tpu.data.synthetic import make_cine_example
+    from dl_swin_gan_tpu.train import packing
+    from dl_swin_gan_tpu.train.diffusion_trainer import DiffusionTrainer
+
+    E, C, T, Y, X = 2, 4, 6, 16, 12
+    unrolls, depth, heads, hidden = 2, 2, 4, 48
+    lr = 1e-3
+    n_steps = 8
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "DIT"
+    cfg.MODEL.META_ARCHITECTURE = "DDPM_X"
+    p = cfg.MODEL.PARAMETERS
+    p.NUM_UNROLLS = unrolls
+    p.NUM_RESBLOCKS = 0
+    p.NUM_LAYERS = depth
+    p.NUM_HEADS = heads
+    p.NUM_FEATURES = hidden
+    p.NUM_EMAPS = E
+    p.LEARN_SIGMA = False
+    p.SHARE_WEIGHTS = False
+    p.NOISE_SCHED = "linear"
+    p.CONV_BLOCK.COMPLEX = False
+    p.SLWIN_INIT = False
+    cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
+    cfg.OPTIMIZER.ADAM.LR = lr
+    cfg.LR_SCHEDULER.STEP_SIZE = 1000   # inert within this test
+    cfg.AUG_TRAIN.UNDERSAMPLE.ACCELERATIONS = (3, 4)
+    cfg.AUG_TRAIN.UNDERSAMPLE.PARTIAL_KY = 0.0
+    cfg.OUTPUT_DIR = "/tmp/diff_traj_parity"
+
+    # ---- identical data: our (parity-tested) preprocess feeds BOTH sides;
+    # the 90/10 submask split runs once on host via the trainer's own
+    # prepare_batch (numpy RNG) and the resulting masks go to both
+    pre = CinePreprocess(cfg, use_seed=True)
+    trainer = DiffusionTrainer(cfg)
+    batches = []
+    for i in range(2):
+        k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=i)
+        ex = pre(k, m, t, f"dtraj_{i}")
+        b = trainer.prepare_batch(
+            {key: np.asarray(v)[None] for key, v in ex.items()})
+        batches.append(b)
+
+    # ---- our params (then overwritten by the reference's init below)
+    state = trainer.init_state(batches[0])
+    params = jax.tree.map(np.asarray, state.params)
+
+    # ---- reference model + diffusion (train_DiT.py:106-124, DDPM_X)
+    from types import SimpleNamespace as NS
+    rcfg = NS(MODEL=NS(PARAMETERS=NS(
+        NUM_UNROLLS=unrolls, NUM_RESBLOCKS=0, NUM_FEATURES=hidden,
+        NUM_LAYERS=depth, NUM_HEADS=heads, NUM_EMAPS=E,
+        SHARE_WEIGHTS=False, FIX_STEP_SIZE=True, GRAD_CHECKPOINT=False,
+        LEARN_SIGMA=False,
+        CONV_BLOCK=NS(KERNEL_SIZE=[3], COMPLEX=False, CIRCULAR_PAD=True))))
+    torch.manual_seed(11)
+    ref = ref_mod.DataConsistency(rcfg).eval()  # eval: no CFG label-drop
+    ref_diffusion = ref_create(timestep_respacing="", noise_schedule="linear",
+                               learn_sigma=False, diffusion_steps=1000,
+                               predict_xstart=True)
+
+    # weight-copy the reference init INTO our params (zero-init adaLN heads
+    # included — that zero init IS the trajectory's true starting point)
+    for i in range(unrolls):
+        rnet = ref.nn_update[i]
+        ours = params[f"DiTResNet_{i}"]
+        _map_convblock(rnet.SFE, ours["SFE"])
+        _map_dit_core(rnet.DiT, ours["DiT"], depth)
+        _map_convblock(rnet.final_layer, ours["final_layer"])
+    # deep-copy: jnp.asarray of a torch-backed numpy view can alias torch
+    # storage on CPU; torch's opt.step() would then mutate our params
+    params = jax.tree.map(lambda x: np.array(x, copy=True), params)
+    opt_state = trainer.tx.init(params)
+
+    tx = trainer.tx
+
+    @jax.jit
+    def step(params, opt_state, packed, t, key):
+        b = packing.unpack(packed)
+
+        def loss_fn(pp):
+            model = trainer._model_fn(trainer.model, pp)  # deterministic
+            kwargs = trainer._kwargs_from_batch(b, b["mask_p"])
+            terms, _, _ = trainer.diffusion.training_kspace_loss(
+                key, model, b["target"], t, kwargs)
+            return jnp.mean(terms["loss"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, u: a + u, params, updates)
+        return params, opt_state, loss
+
+    opt = torch.optim.Adam(ref.parameters(), lr=lr)
+    rng = np.random.RandomState(17)
+
+    ours, theirs = [], []
+    for s in range(n_steps):
+        b = batches[s % len(batches)]
+        t_np = rng.randint(0, 1000, size=(1,)).astype(np.int32)
+        key = jax.random.PRNGKey(1000 + s)
+        # the exact noise OUR training_kspace_loss will draw from `key`
+        noise_np = np.asarray(jax.random.normal(
+            key, (1, 2 * E, T, Y, X), jnp.float32))
+
+        # ---- reference step (train_DiT.py:233-297, DDPM_X branch)
+        tb = {k: torch.from_numpy(np.asarray(v)) for k, v in b.items()}
+        model_kwargs = dict(
+            A=ref_transforms.SenseModel(tb["maps"], weights=tb["mask_p"]),
+            A_1=ref_transforms.SenseModel(tb["maps"],
+                                          weights=1 - tb["mask_p"]),
+            A_F=ref_transforms.SenseModel(tb["maps"]),
+            A_S=ref_transforms.SenseModel(tb["maps"], weights=tb["mask_r"]),
+            fs=tb["target"], c=torch.tensor([1]).long())
+        loss_dict, _, _ = ref_diffusion.training_kspace_loss(
+            ref, tb["target"], torch.from_numpy(t_np).long(), model_kwargs,
+            noise=torch.from_numpy(noise_np.copy()))
+        ref_loss = loss_dict["loss"]
+        opt.zero_grad()
+        ref_loss.backward()
+        opt.step()
+        theirs.append(float(ref_loss.detach()))
+
+        # ---- our step (same loss/optimizer composition as the trainer)
+        params, opt_state, loss = step(params, opt_state,
+                                       packing.pack(b), jnp.asarray(t_np),
+                                       key)
+        ours.append(float(loss))
+
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    # step 0 is forward+loss parity from identical weights; later steps
+    # accumulate float32 optimizer drift — the loose bound still catches
+    # semantic divergence (lr, eps placement, loss def, schedule constants)
+    np.testing.assert_allclose(ours[0], theirs[0], rtol=5e-3)
+    np.testing.assert_allclose(ours, theirs, rtol=3e-2)

@@ -1,4 +1,4 @@
-"""Diffusion training-trajectory parity vs the PyTorch reference (DDPM_X).
+"""Diffusion training-trajectory parity vs the PyTorch reference (DDPM_X + DDPM_E).
 
 `test_train_trajectory_parity.py` closes the training-step parity layer for
 the unrolled path; this does the same for the DIFFUSION path — reference
@@ -31,7 +31,8 @@ import pytest
 REF = "/root/reference"
 
 
-def test_diffusion_training_trajectory_matches_reference():
+@pytest.mark.parametrize("meta", ["DDPM_X", "DDPM_E"])
+def test_diffusion_training_trajectory_matches_reference(meta):
     from tests.test_forward_parity_transformers import (
         _load_ref, _map_convblock, _map_dit_core)
 
@@ -64,7 +65,7 @@ def test_diffusion_training_trajectory_matches_reference():
 
     cfg = get_cfg()
     cfg.MODEL.MODEL_TYPE = "DIT"
-    cfg.MODEL.META_ARCHITECTURE = "DDPM_X"
+    cfg.MODEL.META_ARCHITECTURE = meta
     p = cfg.MODEL.PARAMETERS
     p.NUM_UNROLLS = unrolls
     p.NUM_RESBLOCKS = 0
@@ -110,10 +111,14 @@ def test_diffusion_training_trajectory_matches_reference():
         LEARN_SIGMA=False,
         CONV_BLOCK=NS(KERNEL_SIZE=[3], COMPLEX=False, CIRCULAR_PAD=True))))
     torch.manual_seed(11)
-    ref = ref_mod.DataConsistency(rcfg).eval()  # eval: no CFG label-drop
+    is_x = meta == "DDPM_X"
+    # DDPM_X: hard-DC solver + predict_xstart; DDPM_E: pure eps chain
+    # (train_DiT.py:104-116)
+    ref_cls = ref_mod.DataConsistency if is_x else ref_mod.DDPM
+    ref = ref_cls(rcfg).eval()  # eval: no CFG label-drop
     ref_diffusion = ref_create(timestep_respacing="", noise_schedule="linear",
                                learn_sigma=False, diffusion_steps=1000,
-                               predict_xstart=True)
+                               predict_xstart=is_x)
 
     # weight-copy the reference init INTO our params (zero-init adaLN heads
     # included — that zero init IS the trajectory's true starting point)
@@ -137,8 +142,12 @@ def test_diffusion_training_trajectory_matches_reference():
         def loss_fn(pp):
             model = trainer._model_fn(trainer.model, pp)  # deterministic
             kwargs = trainer._kwargs_from_batch(b, b["mask_p"])
-            terms, _, _ = trainer.diffusion.training_kspace_loss(
-                key, model, b["target"], t, kwargs)
+            if trainer.meta == "ddpm_x":
+                terms, _, _ = trainer.diffusion.training_kspace_loss(
+                    key, model, b["target"], t, kwargs)
+            else:
+                terms, _, _ = trainer.diffusion.training_losses(
+                    key, model, b["target"], t, kwargs)
             return jnp.mean(terms["loss"])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -158,19 +167,27 @@ def test_diffusion_training_trajectory_matches_reference():
         noise_np = np.asarray(jax.random.normal(
             key, (1, 2 * E, T, Y, X), jnp.float32))
 
-        # ---- reference step (train_DiT.py:233-297, DDPM_X branch)
+        # ---- reference step (train_DiT.py:233-297)
         tb = {k: torch.from_numpy(np.asarray(v)) for k, v in b.items()}
         model_kwargs = dict(
             A=ref_transforms.SenseModel(tb["maps"], weights=tb["mask_p"]),
             A_1=ref_transforms.SenseModel(tb["maps"],
                                           weights=1 - tb["mask_p"]),
             A_F=ref_transforms.SenseModel(tb["maps"]),
-            A_S=ref_transforms.SenseModel(tb["maps"], weights=tb["mask_r"]),
             fs=tb["target"], c=torch.tensor([1]).long())
-        loss_dict, _, _ = ref_diffusion.training_kspace_loss(
-            ref, tb["target"], torch.from_numpy(t_np).long(), model_kwargs,
-            noise=torch.from_numpy(noise_np.copy()))
-        ref_loss = loss_dict["loss"]
+        if is_x:
+            model_kwargs["A_S"] = ref_transforms.SenseModel(
+                tb["maps"], weights=tb["mask_r"])
+            loss_dict, _, _ = ref_diffusion.training_kspace_loss(
+                ref, tb["target"], torch.from_numpy(t_np).long(),
+                model_kwargs, noise=torch.from_numpy(noise_np.copy()))
+        else:
+            # DDPM_E branch: eps-MSE on the fully-sampled target, mask_r/p
+            # are dummies equal to the acquired mask (prepare_batch mirrors)
+            loss_dict, _, _ = ref_diffusion.training_losses(
+                ref, tb["target"], torch.from_numpy(t_np).long(),
+                model_kwargs, noise=torch.from_numpy(noise_np.copy()))
+        ref_loss = loss_dict["loss"].mean()
         opt.zero_grad()
         ref_loss.backward()
         opt.step()

@@ -31,12 +31,14 @@ import pytest
 REF = "/root/reference"
 
 
-@pytest.mark.parametrize("meta", ["DDPM_X", "DDPM_E"])
-def test_diffusion_training_trajectory_matches_reference(meta):
+@pytest.mark.parametrize("backbone,meta", [
+    ("DIT", "DDPM_X"), ("DIT", "DDPM_E"), ("LATTE", "DDPM_X")])
+def test_diffusion_training_trajectory_matches_reference(backbone, meta):
     from tests.test_forward_parity_transformers import (
-        _load_ref, _map_convblock, _map_dit_core)
+        _load_ref, _map_convblock, _map_dense, _map_dit_core, _b)
 
-    ref_mod = _load_ref("unrolledDiT")
+    ref_mod = _load_ref("unrolledDiT" if backbone == "DIT"
+                        else "unrolledLatte")
     if ref_mod is None:
         pytest.skip("reference/torch unavailable")
     import sys
@@ -64,7 +66,7 @@ def test_diffusion_training_trajectory_matches_reference(meta):
     n_steps = 8
 
     cfg = get_cfg()
-    cfg.MODEL.MODEL_TYPE = "DIT"
+    cfg.MODEL.MODEL_TYPE = backbone
     cfg.MODEL.META_ARCHITECTURE = meta
     p = cfg.MODEL.PARAMETERS
     p.NUM_UNROLLS = unrolls
@@ -120,14 +122,42 @@ def test_diffusion_training_trajectory_matches_reference(meta):
                                learn_sigma=False, diffusion_steps=1000,
                                predict_xstart=is_x)
 
+    import jax.numpy as _jnp
+
+    def _map_latte(rnet, ours):
+        """LatteNet weight copy (per-frame 2D patch embed, interleaved
+        blocks; the unused-SFE/final ConvBlocks have no counterpart —
+        torch gives them None grads, so Adam never touches them and the
+        trajectories stay comparable)."""
+        lat = ours["Latte"]
+        w = rnet.Latte.x_embedder.proj.weight  # Conv2d [out, in, kh, kw]
+        lat["x_embedder"]["kernel"] = _jnp.asarray(
+            w.detach().numpy().transpose(2, 3, 1, 0))
+        lat["x_embedder"]["bias"] = _b(rnet.Latte.x_embedder.proj.bias)
+        _map_dense(rnet.Latte.t_embedder.mlp[0], lat["t_embedder"]["Dense_0"])
+        _map_dense(rnet.Latte.t_embedder.mlp[2], lat["t_embedder"]["Dense_1"])
+        for j, rb in enumerate(rnet.Latte.blocks):
+            fb = lat[f"TransformerBlock_{j}"]
+            _map_dense(rb.adaLN_modulation[1], fb["adaLN_modulation"])
+            _map_dense(rb.attn.qkv, fb["attn"]["qkv"])
+            _map_dense(rb.attn.proj, fb["attn"]["proj"])
+            _map_dense(rb.mlp.fc1, fb["Mlp_0"]["Dense_0"])
+            _map_dense(rb.mlp.fc2, fb["Mlp_0"]["Dense_1"])
+        _map_dense(rnet.Latte.final_layer.adaLN_modulation[1],
+                   lat["final_layer"]["adaLN_modulation"])
+        _map_dense(rnet.Latte.final_layer.linear, lat["final_layer"]["linear"])
+
     # weight-copy the reference init INTO our params (zero-init adaLN heads
     # included — that zero init IS the trajectory's true starting point)
     for i in range(unrolls):
         rnet = ref.nn_update[i]
-        ours = params[f"DiTResNet_{i}"]
-        _map_convblock(rnet.SFE, ours["SFE"])
-        _map_dit_core(rnet.DiT, ours["DiT"], depth)
-        _map_convblock(rnet.final_layer, ours["final_layer"])
+        if backbone == "DIT":
+            ours = params[f"DiTResNet_{i}"]
+            _map_convblock(rnet.SFE, ours["SFE"])
+            _map_dit_core(rnet.DiT, ours["DiT"], depth)
+            _map_convblock(rnet.final_layer, ours["final_layer"])
+        else:
+            _map_latte(rnet, params[f"LatteNet_{i}"])
     # deep-copy: jnp.asarray of a torch-backed numpy view can alias torch
     # storage on CPU; torch's opt.step() would then mutate our params
     params = jax.tree.map(lambda x: np.array(x, copy=True), params)

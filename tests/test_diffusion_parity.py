@@ -111,3 +111,50 @@ def test_p_mean_variance_matches_reference(rng, predict_xstart):
         np.broadcast_to(np.asarray(our_out["log_variance"]),
                         ref_out["log_variance"].shape),
         ref_out["log_variance"].numpy(), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("predict_xstart", [False, True])
+def test_ddim_sample_matches_reference(rng, predict_xstart):
+    """DDIM reverse step (eta=0, fully deterministic) and the forward-ODE
+    ddim_reverse_sample must match the reference values (eq. 12 terms:
+    eps-from-xstart, alpha_bar_prev/next interpolation)
+    (`gaussian_diffusion.py:635-721`)."""
+    ref_create = _load_ref()
+    if ref_create is None:
+        pytest.skip("reference/torch unavailable")
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from dl_swin_gan_tpu.diffusion import create_diffusion
+
+    ref = ref_create(timestep_respacing="", noise_schedule="linear",
+                     learn_sigma=False, predict_xstart=predict_xstart,
+                     diffusion_steps=1000)
+    ours = create_diffusion(timestep_respacing="", noise_schedule="linear",
+                            learn_sigma=False, predict_xstart=predict_xstart,
+                            diffusion_steps=1000)
+
+    x = rng.standard_normal((2, 4, 6, 8)).astype(np.float32)
+    t = np.array([3, 640])
+    model = lambda v, tt: 0.3 * v + 0.1
+
+    ref_out = ref.ddim_sample(model, torch.from_numpy(x),
+                              torch.from_numpy(t), clip_denoised=False,
+                              eta=0.0)
+    our_out = ours.ddim_sample(jax.random.PRNGKey(0), model, jnp.asarray(x),
+                               jnp.asarray(t), clip_denoised=False, eta=0.0)
+    for k in ("sample", "pred_xstart"):
+        np.testing.assert_allclose(np.asarray(our_out[k]),
+                                   ref_out[k].numpy(), rtol=2e-5, atol=1e-5,
+                                   err_msg=f"ddim_sample {k}")
+
+    ref_rev = ref.ddim_reverse_sample(model, torch.from_numpy(x),
+                                      torch.from_numpy(t),
+                                      clip_denoised=False)
+    our_rev = ours.ddim_reverse_sample(model, jnp.asarray(x), jnp.asarray(t),
+                                       clip_denoised=False)
+    for k in ("sample", "pred_xstart"):
+        np.testing.assert_allclose(np.asarray(our_rev[k]),
+                                   ref_rev[k].numpy(), rtol=2e-5, atol=1e-5,
+                                   err_msg=f"ddim_reverse_sample {k}")

@@ -158,3 +158,40 @@ def test_ddim_sample_matches_reference(rng, predict_xstart):
         np.testing.assert_allclose(np.asarray(our_rev[k]),
                                    ref_rev[k].numpy(), rtol=2e-5, atol=1e-5,
                                    err_msg=f"ddim_reverse_sample {k}")
+
+
+def test_vb_terms_bpd_matches_reference(rng):
+    """VLB term values (normal_kl + discretized Gaussian decoder NLL in
+    bits, t==0 switch) against the reference (`gaussian_diffusion.py:
+    804-835`); deterministic given (x_start, x_t, t) and a mock model."""
+    ref_create = _load_ref()
+    if ref_create is None:
+        pytest.skip("reference/torch unavailable")
+    import jax.numpy as jnp
+    import torch
+
+    from dl_swin_gan_tpu.diffusion import create_diffusion
+
+    ref = ref_create(timestep_respacing="", noise_schedule="linear",
+                     learn_sigma=False, predict_xstart=False,
+                     diffusion_steps=1000)
+    ours = create_diffusion(timestep_respacing="", noise_schedule="linear",
+                            learn_sigma=False, predict_xstart=False,
+                            diffusion_steps=1000)
+
+    x0 = np.tanh(rng.standard_normal((3, 4, 6, 8))).astype(np.float32)
+    xt = rng.standard_normal((3, 4, 6, 8)).astype(np.float32)
+    t = np.array([0, 17, 640])   # covers the t==0 decoder-NLL branch
+    model = lambda v, tt: 0.3 * v + 0.1
+
+    ref_out = ref._vb_terms_bpd(model, torch.from_numpy(x0),
+                                torch.from_numpy(xt), torch.from_numpy(t),
+                                clip_denoised=False)
+    our_out = ours._vb_terms_bpd(model, jnp.asarray(x0), jnp.asarray(xt),
+                                 jnp.asarray(t), clip_denoised=False)
+    np.testing.assert_allclose(np.asarray(our_out["output"]),
+                               ref_out["output"].numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(our_out["pred_xstart"]),
+                               ref_out["pred_xstart"].numpy(), rtol=2e-5,
+                               atol=1e-5)

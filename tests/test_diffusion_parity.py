@@ -195,3 +195,81 @@ def test_vb_terms_bpd_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(our_out["pred_xstart"]),
                                ref_out["pred_xstart"].numpy(), rtol=2e-5,
                                atol=1e-5)
+
+
+def test_conditional_sampling_loop_matches_reference(make_complex, rng,
+                                                     monkeypatch):
+    """Value parity for the headline inference path: the full reverse chain
+    with hard k-space DC after every step except t=0
+    (`p_sample_loop_conditional`, reference :524-632), through REAL SENSE
+    operators on complex images. Our per-step ancestral noise sequence is
+    precomputed from the jax key schedule and fed to the reference by
+    patching torch.randn_like — after that, the two 8-step loops must
+    produce the same reconstruction."""
+    ref_create = _load_ref()
+    if ref_create is None:
+        pytest.skip("reference/torch unavailable")
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from dl_cs.mri import transforms as ref_transforms
+
+    from dl_swin_gan_tpu.diffusion import create_diffusion
+    from dl_swin_gan_tpu.diffusion.gaussian import _randn_like
+    from dl_swin_gan_tpu.ops.sense import SenseOp
+
+    steps = 8
+    ref = ref_create(timestep_respacing="", noise_schedule="linear",
+                     learn_sigma=False, predict_xstart=True,
+                     diffusion_steps=steps)
+    ours = create_diffusion(timestep_respacing="", noise_schedule="linear",
+                            learn_sigma=False, predict_xstart=True,
+                            diffusion_steps=steps)
+
+    B, E, C, T, Y, X = 1, 1, 2, 3, 8, 6
+    maps = make_complex((B, E, C, 1, Y, X))
+    mask = (rng.random((B, 1, T, Y, X)) < 0.5).astype(np.float32)
+    init = make_complex((B, E, T, Y, X))
+
+    model = lambda v, tt, **kw: 0.3 * v + 0.1
+
+    # precompute the exact noise arrays our scan will draw (carry-split
+    # key schedule, complex torch-convention normal)
+    key = jax.random.PRNGKey(42)
+    k = key
+    seq = []
+    for _ in range(steps):
+        k, sub = jax.random.split(k)
+        seq.append(np.asarray(_randn_like(sub, jnp.asarray(init))))
+
+    our_kwargs = dict(A=SenseOp(jnp.asarray(maps), jnp.asarray(mask)),
+                      A_1=SenseOp(jnp.asarray(maps), 1.0 - jnp.asarray(mask)),
+                      A_F=SenseOp(jnp.asarray(maps), None))
+    out = np.asarray(ours.p_sample_loop_conditional(
+        key, model, jnp.asarray(init), our_kwargs, clip_denoised=False))
+
+    pops = [torch.from_numpy(s.copy()) for s in seq]
+    monkeypatch.setattr(torch, "randn_like", lambda x, *a, **kw: pops.pop(0))
+    tm = torch.from_numpy(maps)
+    ref_kwargs = dict(
+        A=ref_transforms.SenseModel(tm, weights=torch.from_numpy(mask)),
+        A_1=ref_transforms.SenseModel(tm, weights=torch.from_numpy(1 - mask)),
+        A_F=ref_transforms.SenseModel(tm))
+
+    class Stub(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.p = torch.nn.Parameter(torch.zeros(1))
+
+        def forward(self, v, tt, **kw):
+            return 0.3 * v + 0.1
+
+    ref_out = ref.p_sample_loop_conditional(
+        Stub(), tuple(init.shape), noise=torch.from_numpy(init.copy()),
+        clip_denoised=False, model_kwargs=ref_kwargs).numpy()
+    assert not pops, "reference loop drew fewer noise samples than ours"
+
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4,
+                               atol=1e-5 * np.abs(ref_out).max())

@@ -197,8 +197,10 @@ def test_vb_terms_bpd_matches_reference(rng):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("respacing,n_draws", [("", 8), ("4", 4)])
 def test_conditional_sampling_loop_matches_reference(make_complex, rng,
-                                                     monkeypatch):
+                                                     monkeypatch, respacing,
+                                                     n_draws):
     """Value parity for the headline inference path: the full reverse chain
     with hard k-space DC after every step except t=0
     (`p_sample_loop_conditional`, reference :524-632), through REAL SENSE
@@ -220,13 +222,14 @@ def test_conditional_sampling_loop_matches_reference(make_complex, rng,
     from dl_swin_gan_tpu.diffusion.gaussian import _randn_like
     from dl_swin_gan_tpu.ops.sense import SenseOp
 
-    steps = 8
-    ref = ref_create(timestep_respacing="", noise_schedule="linear",
+    # respacing="4" exercises SpacedDiffusion end to end (timestep remap,
+    # rebuilt betas) through the same value-level comparison
+    ref = ref_create(timestep_respacing=respacing, noise_schedule="linear",
                      learn_sigma=False, predict_xstart=True,
-                     diffusion_steps=steps)
-    ours = create_diffusion(timestep_respacing="", noise_schedule="linear",
-                            learn_sigma=False, predict_xstart=True,
-                            diffusion_steps=steps)
+                     diffusion_steps=8)
+    ours = create_diffusion(timestep_respacing=respacing,
+                            noise_schedule="linear", learn_sigma=False,
+                            predict_xstart=True, diffusion_steps=8)
 
     B, E, C, T, Y, X = 1, 1, 2, 3, 8, 6
     maps = make_complex((B, E, C, 1, Y, X))
@@ -240,7 +243,7 @@ def test_conditional_sampling_loop_matches_reference(make_complex, rng,
     key = jax.random.PRNGKey(42)
     k = key
     seq = []
-    for _ in range(steps):
+    for _ in range(n_draws):
         k, sub = jax.random.split(k)
         seq.append(np.asarray(_randn_like(sub, jnp.asarray(init))))
 

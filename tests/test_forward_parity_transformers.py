@@ -136,34 +136,12 @@ def _map_ln(ref_ln, flax_ln):
     flax_ln["bias"] = _b(ref_ln.bias)
 
 
-def test_video_swin_unet_forward_matches_reference(rng):
-    """SwinTransformer3D U-Net: patch embed, shifted-window attention with
-    3D relative-position bias + masks, PatchMerging/PatchExpand, transposed
-    -conv unembed with center crop (reference
-    video_swin_transformer_mri_downsample.py:735-756 forward)."""
-    ref_mod = _load_ref("video_swin_transformer_mri_downsample")
-    if ref_mod is None:
-        pytest.skip("reference/torch unavailable")
-    import torch
-
-    from dl_swin_gan_tpu.models.swin import SwinTransformer3D
-
-    C, D, H, W = 8, 4, 26, 16
-    depths, heads = (2, 2), (2, 4)
-    embed, ps, ws = 16, (2, 4, 4), (2, 4, 4)
-    torch.manual_seed(5)
-    ref = ref_mod.SwinTransformer3D(
-        patch_size=ps, in_chans=C, embed_dim=embed, depths=list(depths),
-        num_heads=list(heads), window_size=ws, drop_path_rate=0.0)
-    ref.eval()  # the reference overrides train() without returning self
-
-    net = SwinTransformer3D(in_chans=C, embed_dim=embed, patch_size=ps,
-                            depths=depths, num_heads=heads, window_size=ws,
-                            drop_path_rate=0.0, deterministic=True)
-
-    x = rng.standard_normal((1, D, H, W, C)).astype(np.float32)
-    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
-    params = jax.tree.map(np.asarray, params)
+def map_swin_unet(ref, params, depths):
+    """Copy reference SwinTransformer3D tensors into our param dict. All
+    assignments are linear reindexings (transpose/flip), so running the
+    same mapping over a module whose parameters hold GRADIENTS yields the
+    expected flax gradient tree (used by test_swin_grad_parity.py)."""
+    import numpy as np
 
     params["patch_embed"]["kernel"] = _conv3d(ref.patch_embed.proj.weight)
     params["patch_embed"]["bias"] = _b(ref.patch_embed.proj.bias)
@@ -195,6 +173,38 @@ def test_video_swin_unet_forward_matches_reference(rng):
         ref.patch_unembed.proj.weight.detach().numpy()
         .transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1]))
     params["patch_unembed"]["bias"] = _b(ref.patch_unembed.proj.bias)
+
+
+def test_video_swin_unet_forward_matches_reference(rng):
+    """SwinTransformer3D U-Net: patch embed, shifted-window attention with
+    3D relative-position bias + masks, PatchMerging/PatchExpand, transposed
+    -conv unembed with center crop (reference
+    video_swin_transformer_mri_downsample.py:735-756 forward)."""
+    ref_mod = _load_ref("video_swin_transformer_mri_downsample")
+    if ref_mod is None:
+        pytest.skip("reference/torch unavailable")
+    import torch
+
+    from dl_swin_gan_tpu.models.swin import SwinTransformer3D
+
+    C, D, H, W = 8, 4, 26, 16
+    depths, heads = (2, 2), (2, 4)
+    embed, ps, ws = 16, (2, 4, 4), (2, 4, 4)
+    torch.manual_seed(5)
+    ref = ref_mod.SwinTransformer3D(
+        patch_size=ps, in_chans=C, embed_dim=embed, depths=list(depths),
+        num_heads=list(heads), window_size=ws, drop_path_rate=0.0)
+    ref.eval()  # the reference overrides train() without returning self
+
+    net = SwinTransformer3D(in_chans=C, embed_dim=embed, patch_size=ps,
+                            depths=depths, num_heads=heads, window_size=ws,
+                            drop_path_rate=0.0, deterministic=True)
+
+    x = rng.standard_normal((1, D, H, W, C)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    map_swin_unet(ref, params, depths)
 
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(

@@ -165,3 +165,42 @@ def test_training_trajectory_matches_reference(loss_weight):
     # against the first (per-batch losses aren't comparable across batches)
     assert ours[-3:].mean() < ours[:3].mean()
     assert theirs[-3:].mean() < theirs[:3].mean()
+
+
+@pytest.mark.parametrize("weight", [False, True])
+def test_metric_values_match_reference(weight):
+    """Value parity for the loss/metric functions themselves: l1, l2, psnr,
+    calc_weight, and perp_loss (reference `dl_cs/utils/metrics.py:11-39,
+    121-153`) on random complex volumes."""
+    if not os.path.exists(REF_METRICS):
+        pytest.skip("reference unavailable")
+    import ast
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from dl_swin_gan_tpu.ops import metrics as M
+
+    tree = ast.parse(open(REF_METRICS).read())
+    wanted = {"l1", "l2", "psnr", "calc_weight", "perp_loss"}
+    mod = ast.Module(body=[n for n in tree.body if isinstance(
+        n, ast.FunctionDef) and n.name in wanted], type_ignores=[])
+    ns = {"torch": torch}
+    exec(compile(mod, REF_METRICS, "exec"), ns)
+
+    rngnp = np.random.RandomState(3)
+    shape = (2, 2, 6, 12, 10)
+    ref = (rngnp.randn(*shape) + 1j * rngnp.randn(*shape)).astype(np.complex64)
+    pred = (ref + 0.1 * (rngnp.randn(*shape) + 1j * rngnp.randn(*shape))
+            ).astype(np.complex64)
+    tr, tp = torch.from_numpy(ref), torch.from_numpy(pred)
+    jr, jp = jnp.asarray(ref), jnp.asarray(pred)
+
+    for name in ("l1", "l2", "psnr", "perp_loss"):
+        theirs = float(ns[name](tr, tp, weight))
+        ours = float(getattr(M, name)(jr, jp, weight))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5,
+                                   err_msg=f"{name} weight={weight}")
+    np.testing.assert_allclose(np.asarray(M.calc_weight(jr)),
+                               ns["calc_weight"](tr).numpy(), rtol=1e-5)

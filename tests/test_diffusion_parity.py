@@ -276,3 +276,55 @@ def test_conditional_sampling_loop_matches_reference(make_complex, rng,
 
     np.testing.assert_allclose(out, ref_out, rtol=1e-4,
                                atol=1e-5 * np.abs(ref_out).max())
+
+
+def test_calc_bpd_loop_matches_reference(rng, monkeypatch):
+    """Full-VLB bits/dim loop (reference :983-1037): per-t q_sample noise is
+    synchronized by precomputing our scan's draws and patching
+    torch.randn_like; total/prior/per-t vb and both MSE tracks must match."""
+    ref_create = _load_ref()
+    if ref_create is None:
+        pytest.skip("reference/torch unavailable")
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from dl_swin_gan_tpu.diffusion import create_diffusion
+
+    steps = 6
+    ref = ref_create(timestep_respacing="", noise_schedule="linear",
+                     learn_sigma=False, predict_xstart=False,
+                     diffusion_steps=steps)
+    ours = create_diffusion(timestep_respacing="", noise_schedule="linear",
+                            learn_sigma=False, predict_xstart=False,
+                            diffusion_steps=steps)
+
+    x0 = np.tanh(rng.standard_normal((2, 4, 6, 8))).astype(np.float32)
+    model = lambda v, tt, **kw: 0.3 * v + 0.1
+
+    key = jax.random.PRNGKey(9)
+    k = key
+    seq = []
+    for _ in range(steps):
+        k, sub = jax.random.split(k)
+        seq.append(np.asarray(jax.random.normal(sub, x0.shape, jnp.float32)))
+
+    our_out = ours.calc_bpd_loop(key, model, jnp.asarray(x0),
+                                 clip_denoised=False)
+
+    pops = [torch.from_numpy(s.copy()) for s in seq]
+    monkeypatch.setattr(torch, "randn_like", lambda x, *a, **kw: pops.pop(0))
+    ref_out = ref.calc_bpd_loop(model, torch.from_numpy(x0),
+                                clip_denoised=False)
+    assert not pops
+
+    for k2 in ("total_bpd", "prior_bpd"):
+        np.testing.assert_allclose(np.asarray(our_out[k2]),
+                                   ref_out[k2].numpy(), rtol=1e-4,
+                                   atol=1e-5, err_msg=k2)
+    # ours stacks over the scan axis [T, N] (t = T-1 first); reference
+    # stacks dim=1 -> [N, T] in the same t order
+    for k2 in ("vb", "xstart_mse", "mse"):
+        np.testing.assert_allclose(np.asarray(our_out[k2]).T,
+                                   ref_out[k2].numpy(), rtol=1e-4,
+                                   atol=1e-5, err_msg=k2)

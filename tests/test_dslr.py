@@ -182,3 +182,41 @@ def test_dslr_trainer_batched_apply_matches_per_example(make_complex):
         out_1 = np.asarray(trainer._apply(state.params, one))
         np.testing.assert_allclose(out_b[i:i + 1], out_1, rtol=2e-4,
                                    atol=2e-5 * np.abs(out_1).max())
+
+
+def test_decompose_init_composed_matches_reference(image):
+    """The loader's L0/R0 SVD init (preprocess.py:166-168 semantics) vs the
+    reference `Decompose` oracle. Individual L/R factors are only defined up
+    to a per-block unitary rotation of the rank subspace, so the invariant
+    compared is the composed rank-r approximation L R^H (and the captured
+    energy), which truncated SVD makes unique."""
+    import numpy as np
+
+    try:
+        sys.path.insert(0, "/root/reference")
+        import torch
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from dl_cs.mri import lowrank as ref_lr
+    except Exception:
+        pytest.skip("reference/torch unavailable")
+
+    block, rank = 8, 3
+    img = np.asarray(image)  # [1, e, t, y, x] complex
+
+    L, R = decompose_init(img, block_size=block, rank=rank)
+    op = BlockOp(block, img.shape, xp=np)
+    ours = op.combine(L @ np.conj(np.transpose(R, (0, 2, 1))))
+
+    ref_op = ref_lr.Decompose(block, rank, list(img.shape),
+                              overlapping=True, device="cpu")
+    with torch.no_grad():
+        Lr, Rr = ref_op.decompose(torch.from_numpy(img))
+        theirs = ref_op.compose(Lr, Rr).numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4,
+                               atol=1e-5 * np.abs(theirs).max())
+    # same captured energy per block (sum of kept singular values squared)
+    np.testing.assert_allclose(
+        np.sum(np.abs(L) ** 2, axis=(1, 2)),
+        np.sum(np.abs(Lr.numpy()) ** 2, axis=(1, 2)), rtol=1e-4)

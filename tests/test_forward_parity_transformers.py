@@ -278,3 +278,49 @@ def test_latte_net_forward_matches_reference(make_complex):
     out = np.asarray(net.apply({"params": params}, jnp.asarray(x),
                                jnp.asarray(t), jnp.asarray(y)))
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_swin_net_wrapper_forward_matches_reference(make_complex):
+    """The ACTIVE MODEL_TYPE=SWIN denoiser wrapper (reference swin3D.py:
+    371-435): SFE conv -> DeepFeatureExtraction (ResSwin blocks with the
+    hardcoded inner SwinTransformer3D(depths=[6], heads=[8], window=(7,8,8))
+    quirk, :315) -> the res + DFE(res) double-skip (:427) -> final conv,
+    with circular time padding and complex channel split. The bare U-Net
+    has its own parity test; this covers the wrapper wiring end to end."""
+    ref_mod = _load_ref("swin3D")
+    if ref_mod is None:
+        pytest.skip("reference/torch unavailable")
+    import torch
+
+    from dl_swin_gan_tpu.models.swin import SwinNet3D
+    from tests.test_forward_parity import _map_convblock as _map_cb3d
+
+    E, T, Y, X = 2, 4, 16, 12
+    chans, blocks = 16, 1
+    torch.manual_seed(9)
+    ref = ref_mod.SwinTransformer3DNet(
+        num_swinblocks=blocks, in_chans=2 * E, chans=chans, kernel_size=3,
+        window_size=(7, 8, 8), act_type="relu", use_complex_layers=False,
+        circular_pad=True).eval()
+
+    net = SwinNet3D(num_swinblocks=blocks, num_emaps=E, num_features=chans,
+                    kernel_size=3, drop_path_rate=0.0, deterministic=True)
+
+    x = make_complex((1, E, T, Y, X))
+    import jax
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    _map_cb3d(ref.SFE, params["SFE"], False)
+    for i in range(blocks):
+        rb = ref.DFE.resswin_blocks[i]
+        map_swin_unet(rb.layers[0].transformer,
+                      params[f"SwinTransformer3D_{i}"], depths=(6,))
+        _map_cb3d(rb.layers[1], params[f"ConvBlock_{i}"], False)
+    _map_cb3d(ref.DFE.layers[-1], params[f"ConvBlock_{blocks}"], False)
+    _map_cb3d(ref.final_layer, params[f"ConvBlock_{blocks + 1}"], False)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    out = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)

@@ -158,14 +158,27 @@ class UnrolledLR(nn.Module):
             return comp(L, R)
 
         if mode in ("modslr-v1", "modslr-v2"):
-            lam_l = self.param("lambda_l", nn.initializers.constant(1.0),
+            # v1: lambdas used directly, init (1.0, 2.0) (reference
+            # dslr.py:447-449). v2: both init 5e-3 and the effective
+            # penalty is lambda_scale * clamp(lambda, min=0) with
+            # lambda_scale = 1e2 — a learning-rate trick for the lambda
+            # parameters (reference dslr.py:544-548, 555, 575).
+            if mode == "modslr-v1":
+                init_l, init_r = 1.0, 2.0
+            else:
+                init_l = init_r = 5e-3
+            lam_l = self.param("lambda_l", nn.initializers.constant(init_l),
                                (1,), jnp.float32)
-            lam_r = self.param("lambda_r", nn.initializers.constant(2.0),
+            lam_r = self.param("lambda_r", nn.initializers.constant(init_r),
                                (1,), jnp.float32)
             if self.fix_step_size:
                 lam_l = jax.lax.stop_gradient(lam_l)
                 lam_r = jax.lax.stop_gradient(lam_r)
-            ll, lr = lam_l[0], lam_r[0]
+            if mode == "modslr-v1":
+                ll, lr = lam_l[0], lam_r[0]
+            else:
+                ll = 1e2 * jnp.maximum(lam_l[0], 0.0)
+                lr = 1e2 * jnp.maximum(lam_r[0], 0.0)
 
             def dc_L(L, zL, R_fixed):
                 normal = lambda v: ll * v + normal_L(v, R_fixed)
@@ -205,7 +218,15 @@ _DSLR_MODES = ("dslr-pgd", "dslr-cg-v1", "dslr-cg-v2", "modslr-v1", "modslr-v2")
 
 
 def build_dslr_solver(cfg) -> UnrolledLR:
-    """META_ARCHITECTURE dispatch mirroring train_lr.py:39-50."""
+    """META_ARCHITECTURE dispatch mirroring train_lr.py:39-50.
+
+    Noted divergence: the reference dispatcher routes 'dslr-cg-v2' to
+    AltMinCGv1 (train_lr.py:43-44 — the AltMinCGv2 class exists at
+    dslr.py:344 but is unreachable from the trainer, an apparent
+    copy-paste slip). Here 'dslr-cg-v2' runs the real CGv2 interleaving,
+    which is golden-parity-tested against the reference AltMinCGv2 CLASS
+    (tests/test_dslr_solver_parity.py).
+    """
     p = cfg.MODEL.PARAMETERS
     meta = cfg.MODEL.META_ARCHITECTURE.lower()
     if meta not in _DSLR_MODES:

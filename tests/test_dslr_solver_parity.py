@@ -118,3 +118,77 @@ def test_dslr_cgv1_full_stack_matches_reference(make_complex, rng):
                                   jnp.asarray(L0), jnp.asarray(R0),
                                   block_op))
     np.testing.assert_allclose(out, ref_out, rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("mode,ref_name", [
+    ("dslr-pgd", "AltMinPGD"),
+    ("dslr-cg-v2", "AltMinCGv2"),
+    ("modslr-v1", "AltMinMoDLv1"),
+    ("modslr-v2", "AltMinMoDLv2"),
+])
+def test_dslr_modes_full_stack_match_reference(make_complex, rng, mode,
+                                               ref_name):
+    """Golden full-stack parity for the remaining four alt-min variants
+    (CGv1 is covered above): AltMinPGD power-method steps (dslr.py:173-255),
+    AltMinCGv2 interleaving (:344-425), AltMinMoDLv1 lambda penalties
+    (:428-522), AltMinMoDLv2 (L, zL, R, zR) carry + 1e2*clamp(lambda)
+    scaling (:525-635)."""
+    loaded = _load_ref()
+    if loaded is None:
+        pytest.skip("reference/torch unavailable")
+    ref_dslr, ref_transforms, ArrayToBlocks = loaded
+    import torch
+
+    from dl_swin_gan_tpu.solvers.dslr import UnrolledLR
+
+    B, E, C, T, Y, X = 1, 1, 3, 4, 20, 16
+    unrolls, basis, block = 2, 3, 8
+    shape = (B, E, T, Y, X)
+
+    y = make_complex((B, C, T, Y, X))
+    maps = make_complex((B, E, C, 1, Y, X))
+    mask = (rng.rand(B, 1, T, Y, X) < 0.5).astype(np.float32)
+    y = (y * mask).astype(np.complex64)
+
+    init = np.asarray(make_complex(shape))
+    L0, R0 = decompose_init(init, block_size=block, rank=basis)
+
+    torch.manual_seed(13)
+    ref = getattr(ref_dslr, ref_name)(_ref_cfg()).eval()
+
+    solver = UnrolledLR(mode=mode, num_unrolls=unrolls,
+                        num_resblocks=1, num_features=8, num_emaps=E,
+                        num_basis=basis, block_size=block, num_cg_steps=4,
+                        use_complex_layers=True, circular_pad=True)
+    block_op = BlockOp(block, shape, xp=jnp)
+    params = solver.init(jax.random.PRNGKey(0), jnp.asarray(y),
+                         jnp.asarray(maps), jnp.asarray(mask),
+                         jnp.asarray(L0), jnp.asarray(R0),
+                         block_op)["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    for i in range(unrolls):
+        _map_resnet(ref.spatial_cnn_update[i], params[f"ResNet2D_{i}"], 2)
+        _map_resnet(ref.temporal_cnn_update[i], params[f"ResNet1D_{i}"], 1)
+    if mode.startswith("modslr"):
+        params["lambda_l"] = ref.lambda_l.detach().numpy().copy()
+        params["lambda_r"] = ref.lambda_r.detach().numpy().copy()
+
+    with torch.no_grad():
+        A = ref_transforms.SenseModel(torch.from_numpy(maps),
+                                      weights=torch.from_numpy(mask))
+        ref_block_op = ArrayToBlocks(block, list(shape), overlapping=True)
+        ref_out = ref(torch.from_numpy(y), A, ref_block_op,
+                      torch.from_numpy(L0.copy()),
+                      torch.from_numpy(R0.copy())).numpy()
+
+    out = np.asarray(solver.apply({"params": params}, jnp.asarray(y),
+                                  jnp.asarray(maps), jnp.asarray(mask),
+                                  jnp.asarray(L0), jnp.asarray(R0),
+                                  block_op))
+    # dslr-pgd: power-method step sizes converge from different random
+    # inits (torch.rand vs jax PRNG) — 10 AhA iterations agree to ~1e-3,
+    # so the composed image tolerance is looser there
+    rtol, atol = ((2e-2, 2e-3) if mode == "dslr-pgd" else (5e-3, 5e-4))
+    np.testing.assert_allclose(out, ref_out, rtol=rtol,
+                               atol=atol * np.abs(ref_out).max())

@@ -69,24 +69,16 @@ def bench_recon():
     import jax
     import numpy as np
 
-    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.utils.headline import headline_cfg, headline_shape
     from dl_swin_gan_tpu.data.preprocess import CinePreprocess
     from dl_swin_gan_tpu.data.synthetic import make_cine_example
     from dl_swin_gan_tpu.models import build_denoiser
     from dl_swin_gan_tpu.solvers import build_solver
     from dl_swin_gan_tpu.train import packing
 
-    cfg = get_cfg()
-    cfg.MODEL.MODEL_TYPE = "RES"
-    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
-    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
-    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
-    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
-    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
-    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
-    cfg.OUTPUT_DIR = "/tmp/bench"
+    cfg = headline_cfg()
 
-    T, Y, X, C, E = 20, 180, 64, 8, 2
+    T, Y, X, C, E = headline_shape()
     B = int(os.environ.get("BENCH_BATCH", "4"))
     pre = CinePreprocess(cfg, use_seed=True)
     exs = []
@@ -146,25 +138,15 @@ def bench_recon_e2e():
     import jax
     import numpy as np
 
-    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.utils.headline import headline_cfg, headline_shape
     from dl_swin_gan_tpu.data.synthetic import make_cine_example
     from dl_swin_gan_tpu.infer.reconstruct import Reconstructor
     from dl_swin_gan_tpu.infer.transforms import ResampleTransform
 
-    cfg = get_cfg()
-    cfg.MODEL.MODEL_TYPE = "RES"
-    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
-    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
-    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
-    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
-    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
-    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg = headline_cfg()
     cfg.AUG_TRAIN.CROP_READOUT = 0
-    cfg.OUTPUT_DIR = "/tmp/bench"
 
-    T, Y, X, C, E = 20, 180, 64, 8, 2
-    if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" (smoke tests)
-        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+    T, Y, X, C, E = headline_shape()
     S = int(os.environ.get("BENCH_SLICES", "16"))
     raw = [make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=s)[:2]
            for s in range(S)]
@@ -216,25 +198,15 @@ def bench_recon_e2e_compact():
 
     import numpy as np
 
-    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.utils.headline import headline_cfg, headline_shape
     from dl_swin_gan_tpu.data.synthetic import make_cine_example
     from dl_swin_gan_tpu.infer.compact import (
         CompactReconstructor, CompactTransform, pad_lines, wire_bytes)
 
-    cfg = get_cfg()
-    cfg.MODEL.MODEL_TYPE = "RES"
-    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
-    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
-    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
-    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
-    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
-    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg = headline_cfg()
     cfg.AUG_TRAIN.CROP_READOUT = 0
-    cfg.OUTPUT_DIR = "/tmp/bench"
 
-    T, Y, X, C, E = 20, 180, 64, 8, 2
-    if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" (smoke tests)
-        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+    T, Y, X, C, E = headline_shape()
     S = int(os.environ.get("BENCH_SLICES", "16"))
     raw = [make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=s)[:2]
            for s in range(S)]
@@ -379,7 +351,7 @@ def _measure_headline(B, remat, dtype=None):
     import jax
     import numpy as np
 
-    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.utils.headline import headline_cfg, headline_shape
     from dl_swin_gan_tpu.data.preprocess import CinePreprocess
     from dl_swin_gan_tpu.data.synthetic import make_cine_example
     from dl_swin_gan_tpu.models import build_denoiser
@@ -389,25 +361,13 @@ def _measure_headline(B, remat, dtype=None):
     from dl_swin_gan_tpu.train.train_state import make_optimizer
 
     # canonical workload (reference configs/basic/example.yaml)
-    cfg = get_cfg()
-    cfg.MODEL.MODEL_TYPE = "RES"
-    cfg.MODEL.META_ARCHITECTURE = "dlespirit"
-    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
-    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
-    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
-    cfg.MODEL.PARAMETERS.NUM_EMAPS = 2
-    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
-    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
-    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg = headline_cfg()
     cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
     cfg.MODEL.PARAMETERS.GRAD_CHECKPOINT = remat
     if dtype:
         cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = dtype
-    cfg.OUTPUT_DIR = "/tmp/bench"
 
-    T, Y, X, C, E = 20, 180, 64, 8, 2  # stanfordCine slice, post readout-crop
-    if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" (smoke tests)
-        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+    T, Y, X, C, E = headline_shape()
     pre = CinePreprocess(cfg, use_seed=True)
     exs = []
     for b in range(B):

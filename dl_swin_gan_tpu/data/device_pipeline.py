@@ -221,7 +221,10 @@ class DevicePipelineLoader:
         self._raw: List[Dict] = []
         self._names: List[str] = []
         self._shapes: List[Tuple[int, ...]] = []
-        self._host: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        # One host-side example only (for init_state's shape/struct sample);
+        # keeping every example's numpy copy alive would duplicate the whole
+        # dataset in host RAM on top of the device-resident cache.
+        self._host: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
 
         files = glob.glob(os.path.join(root_directory, "*.h5"))
         if sample_rate < 1.0:
@@ -235,7 +238,8 @@ class DevicePipelineLoader:
                     self._raw.append(self.pipe.upload_raw(k, m))
                     self._names.append(filename)
                     self._shapes.append(tuple(k.shape))
-                    self._host.append((k, m, f["target"][s]))
+                    if self._host is None:
+                        self._host = (k, m, f["target"][s])
                     total += k.nbytes + m.nbytes
         logger.info("device pipeline: cached %d examples (%.0f MB) on device",
                     len(self._raw), total / 1e6)
@@ -248,7 +252,7 @@ class DevicePipelineLoader:
         from dl_swin_gan_tpu.data.preprocess import CinePreprocess
         pre = CinePreprocess(self.pipe.cfg, aug_node=self.pipe.aug,
                              use_seed=True, lr_decom=self.pipe.lr_decom)
-        k, m, t = self._host[0]
+        k, m, t = self._host
         ex = pre(k, m, t, self._names[0])
         return {key: np.asarray(v)[None] for key, v in ex.items()}
 

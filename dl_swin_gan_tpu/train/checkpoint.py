@@ -28,9 +28,14 @@ class CheckpointManager:
         # the best — crash-resume then rewinds to the best step, not the
         # last one. BestN sorts ascending and keeps the last n, so
         # reverse=True selects the n smallest for mode='min'.
+        # Metric-less (periodic) saves must never rank as "best": the
+        # missing-metric sentinel is the worst value for the mode (+inf for
+        # min, -inf for max) — np.inf under mode='max' would make every
+        # periodic save outrank the genuinely best validated checkpoint.
+        worst = np.inf if mode == "min" else -np.inf
         policies = [
             ocp_cm.BestN(
-                get_metric_fn=(lambda metrics: metrics.get(monitor, np.inf)),
+                get_metric_fn=(lambda metrics: metrics.get(monitor, worst)),
                 reverse=(mode == "min"),
                 n=max_to_keep,
             ),
@@ -39,7 +44,7 @@ class CheckpointManager:
             policies.append(ocp_cm.LatestN(n=1))
         options = ocp.CheckpointManagerOptions(
             preservation_policy=ocp_cm.AnyPreservationPolicy(policies),
-            best_fn=(lambda metrics: metrics.get(monitor, np.inf)),
+            best_fn=(lambda metrics: metrics.get(monitor, worst)),
             best_mode=mode,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)

@@ -338,7 +338,8 @@ class Trainer:
                 if img_every and step % img_every == 0 and self._val_step:
                     # qualitative magnitude/phase/error videos + mask image
                     # (reference log_data, train.py:73-101)
-                    _, packed_pred = self._val_step(state.params, packed)
+                    _, packed_pred = self._val_step(self._val_params(state),
+                                                    packed)
                     self._log_videos(writer, step, packed, packed_pred)
                 if step % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}

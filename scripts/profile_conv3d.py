@@ -29,7 +29,7 @@ import numpy as np
 def build_step(cfg_dtype, remat, B, T, Y, X, C, E):
     import jax
 
-    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.utils.headline import headline_cfg, headline_shape
     from dl_swin_gan_tpu.data.preprocess import CinePreprocess
     from dl_swin_gan_tpu.data.synthetic import make_cine_example
     from dl_swin_gan_tpu.models import build_denoiser
@@ -38,18 +38,10 @@ def build_step(cfg_dtype, remat, B, T, Y, X, C, E):
     from dl_swin_gan_tpu.train.losses import compute_metrics, select_loss
     from dl_swin_gan_tpu.train.train_state import make_optimizer
 
-    cfg = get_cfg()
-    cfg.MODEL.MODEL_TYPE = "RES"
-    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
-    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
-    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
-    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
-    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
-    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg = headline_cfg(output_dir="/tmp/profile")
     cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = cfg_dtype
     cfg.MODEL.PARAMETERS.GRAD_CHECKPOINT = remat
     cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
-    cfg.OUTPUT_DIR = "/tmp/profile"
 
     pre = CinePreprocess(cfg, use_seed=True)
     exs = []
@@ -90,9 +82,9 @@ def build_step(cfg_dtype, remat, B, T, Y, X, C, E):
 def main():
     import jax
 
-    T, Y, X, C, E = 20, 180, 64, 8, 2
-    if os.environ.get("BENCH_SHAPE"):
-        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+    from dl_swin_gan_tpu.utils.headline import headline_shape
+
+    T, Y, X, C, E = headline_shape()
     dtype = os.environ.get("PROFILE_DTYPE", "float32")
     batches = [int(v) for v in
                os.environ.get("PROBE_BATCHES", "1,8").split(",")]

@@ -31,7 +31,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dl_swin_gan_tpu.config import get_cfg
+    from dl_swin_gan_tpu.utils.headline import headline_cfg, headline_shape
     from dl_swin_gan_tpu.data.preprocess import CinePreprocess
     from dl_swin_gan_tpu.data.synthetic import make_cine_example
     from dl_swin_gan_tpu.models import build_denoiser
@@ -41,24 +41,14 @@ def main():
     from dl_swin_gan_tpu.train.losses import compute_metrics, select_loss
     from dl_swin_gan_tpu.train.train_state import make_optimizer
 
-    cfg = get_cfg()
-    cfg.MODEL.MODEL_TYPE = "RES"
-    cfg.MODEL.PARAMETERS.NUM_UNROLLS = 5
-    cfg.MODEL.PARAMETERS.NUM_RESBLOCKS = 2
-    cfg.MODEL.PARAMETERS.NUM_FEATURES = 64
-    cfg.MODEL.PARAMETERS.FIX_STEP_SIZE = True
-    cfg.MODEL.PARAMETERS.SLWIN_INIT = True
-    cfg.MODEL.PARAMETERS.CONV_BLOCK.COMPLEX = False
+    cfg = headline_cfg(output_dir="/tmp/profile")
     cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
     if os.environ.get("PROFILE_DTYPE"):
         cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = os.environ["PROFILE_DTYPE"]
     if os.environ.get("PROFILE_REMAT"):
         cfg.MODEL.PARAMETERS.GRAD_CHECKPOINT = True
-    cfg.OUTPUT_DIR = "/tmp/profile"
 
-    T, Y, X, C, E = 20, 180, 64, 8, 2
-    if os.environ.get("BENCH_SHAPE"):  # "T,Y,X,C" (smoke tests)
-        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+    T, Y, X, C, E = headline_shape()
     B = int(os.environ.get("BENCH_BATCH", "1"))
     pre = CinePreprocess(cfg, use_seed=True)
     exs = []

@@ -187,6 +187,26 @@ def test_checkpoint_duplicate_step_keeps_metrics(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_best_retention_mode_max(tmp_path):
+    """Under mode='max', metric-less periodic saves must never rank as
+    "best". Regression: the missing-metric sentinel was +inf for both
+    modes, so with mode='max' every periodic save outranked the genuinely
+    best validated checkpoint and evicted it."""
+    from dl_swin_gan_tpu.train.checkpoint import CheckpointManager
+
+    state = {"w": np.arange(4, dtype=np.float32)}
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="Validate SSIM",
+                            max_to_keep=1, mode="max")
+    mgr.save(8, state, metrics={"Validate SSIM": 0.9})   # the genuine best
+    mgr.save(16, state)                                  # periodic, metric-less
+    mgr.save(24, state, metrics={"Validate SSIM": 0.5})  # worse validation
+    assert mgr.best_step() == 8
+    steps = set(mgr._mgr.all_steps())
+    assert 8 in steps                    # best survives the periodic saves
+    assert mgr.latest_step() == 24
+    mgr.close()
+
+
 def test_checkpoint_keeps_latest_even_when_worse(tmp_path):
     """Retention must be (best N by monitor) OR (latest step). With plain
     max_to_keep+best_fn, once every periodic save collides with a

@@ -146,6 +146,10 @@ def test_gan_trainer_fit_tiny(tiny_cfg, tmp_path):
     cfg.defrost()
     cfg.MODEL.GAN.DISC_FEATURES = 8
     cfg.MODEL.GAN.DISC_LAYERS = 2
+    # exercise the qualitative image-logging path with the GAN train state
+    # (regression: fit() passed state.params to _val_step, but GANTrainState
+    # carries g_params — crashed every GAN run with default logger cadence)
+    cfg.LOGGER.LOG_IMAGES_EVERY_N_STEPS = 1
     cfg.OUTPUT_DIR = str(tmp_path / "gan_out")
     cfg.freeze()
 

@@ -47,12 +47,21 @@ def load_checkpoint_params(ckpt_dir: str, step: Optional[int] = None,
 
 
 class Reconstructor:
-    """Jitted reconstruction closed over a config-built unrolled model."""
+    """Jitted reconstruction closed over a config-built unrolled model.
 
-    def __init__(self, cfg, params):
+    With ``mesh`` (any mesh carrying a 'data' axis), the batch shards over
+    'data' and params replicate — the TPU-native counterpart of the
+    reference's `nn.DataParallel` inference fan-out
+    (reference scripts/reconstruct.py:199-202, reconstruct_h5.py:409-412),
+    minus its complex64 view_as_real workaround: complex stays inside jit.
+    Batches that don't divide the data-axis extent are pad-replicated and
+    cropped after.
+    """
+
+    def __init__(self, cfg, params, mesh=None):
         self.cfg = cfg
-        self.params = params
         self.model = build_solver(cfg, lambda: build_denoiser(cfg))
+        self.mesh = mesh
 
         def _recon(params, packed):
             b = packing.unpack(packed)
@@ -61,13 +70,34 @@ class Reconstructor:
             scale = b["scale"].reshape((-1,) + (1,) * (pred.ndim - 1))
             return packing.pack_jnp(pred * scale)
 
-        self._recon = jax.jit(_recon)
+        if mesh is None:
+            self.params = params
+            self._recon = jax.jit(_recon)
+        else:
+            from dl_swin_gan_tpu.parallel.mesh import (
+                batch_sharding, replicated,
+            )
+            self.params = jax.device_put(params, replicated(mesh))
+            self._recon = jax.jit(
+                _recon,
+                in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                out_shardings=batch_sharding(mesh))
 
     def __call__(self, batch: dict) -> np.ndarray:
         """batch: dict of stacked numpy example arrays -> complex images."""
+        n = int(self.mesh.shape["data"]) if self.mesh is not None else 1
+        b = next(iter(batch.values())).shape[0]
+        pad = (-b) % n
+        if pad:
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                     for k, v in batch.items()}
         packed = packing.pack(batch)
+        if self.mesh is not None:
+            from dl_swin_gan_tpu.parallel.mesh import shard_batch
+            packed = shard_batch(packed, self.mesh)
         out = self._recon(self.params, packed)
-        return packing.unpack_np(out).astype(np.complex64)
+        out = packing.unpack_np(out).astype(np.complex64)
+        return out[:b] if pad else out
 
 
 class DiffusionReconstructor:
@@ -139,7 +169,7 @@ def _batched(examples, batch_size):
 
 def reconstruct_h5_file(h5_path: str, out_directory: str, cfg, params,
                         acceleration: float = 1, batch_size: int = 1,
-                        sample_steps: int = 100) -> str:
+                        sample_steps: int = 100, mesh=None) -> str:
     """Reconstruct one prepared H5 file; writes `<name>_<R>accel.im` CFL.
 
     accel > 1: re-undersample at the parity seed (reconstruct_h5.py:417-420).
@@ -169,7 +199,7 @@ def reconstruct_h5_file(h5_path: str, out_directory: str, cfg, params,
             recon = DiffusionReconstructor(cfg, params,
                                            sample_steps=sample_steps)
         else:
-            recon = Reconstructor(cfg, params)
+            recon = Reconstructor(cfg, params, mesh=mesh)
 
     t0 = time.perf_counter()
     out = []
@@ -192,7 +222,7 @@ def reconstruct_h5_file(h5_path: str, out_directory: str, cfg, params,
 
 
 def reconstruct_cfl(file_ks: str, file_maps: str, file_im: str, cfg, params,
-                    batch_size: int = 1) -> str:
+                    batch_size: int = 1, mesh=None) -> str:
     """Reconstruct scanner CFL k-space (BART dims) — the deployment path.
 
     Mirrors reference CflDataset (reconstruct.py:57-120): BART dims
@@ -218,7 +248,7 @@ def reconstruct_cfl(file_ks: str, file_maps: str, file_im: str, cfg, params,
     examples = [transform(kspace[sl, ec], maps[sl])
                 for ec in range(num_echoes) for sl in range(num_slices)]
 
-    recon = Reconstructor(cfg, params)
+    recon = Reconstructor(cfg, params, mesh=mesh)
     t0 = time.perf_counter()
     out = [recon(b) for b in _batched(examples, batch_size)]
     images = np.concatenate(out, axis=0)

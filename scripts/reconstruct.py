@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--maps", required=True, help="ESPIRiT maps CFL (no ext)")
     parser.add_argument("--output", required=True, help="output image CFL (no ext)")
     parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the batch over all devices' 'data' mesh "
+                             "axis (reference --multi-gpu nn.DataParallel)")
     parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
     args = parser.parse_args(argv)
 
@@ -36,9 +39,13 @@ def main(argv=None):
     if args.opts:
         cfg.merge_from_list(args.opts)
     cfg.freeze()
+    mesh = None
+    if args.data_parallel:
+        from dl_swin_gan_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     params = load_checkpoint_params(args.ckpt)
     out = reconstruct_cfl(args.kspace, args.maps, args.output, cfg, params,
-                          batch_size=args.batch_size)
+                          batch_size=args.batch_size, mesh=mesh)
     print(out)
     return out
 

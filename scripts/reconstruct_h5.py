@@ -32,6 +32,9 @@ def main(argv=None):
                              "(RES/SE/CBAM/SWIN/DiT/Latte)")
     parser.add_argument("--use-ema", action="store_true",
                         help="reconstruct with the EMA weights (diffusion)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the batch over all devices' 'data' mesh "
+                             "axis (reference --multi-gpu nn.DataParallel)")
     parser.add_argument("--sample-steps", type=int, default=100,
                         help="diffusion sampling steps (DiT/Latte)")
     parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
@@ -49,10 +52,14 @@ def main(argv=None):
 
     params = (load_checkpoint_params(args.ckpt, use_ema=args.use_ema)
               if args.acceleration > 1 else None)
+    mesh = None
+    if args.data_parallel:
+        from dl_swin_gan_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     out = reconstruct_h5_file(args.file, args.out_directory, cfg, params,
                               acceleration=args.acceleration,
                               batch_size=args.batch_size,
-                              sample_steps=args.sample_steps)
+                              sample_steps=args.sample_steps, mesh=mesh)
     print(out)
     return out
 

@@ -174,3 +174,45 @@ def test_gan_step_lsgan_semantics(tmp_path):
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
                                    rtol=1e-5, atol=1e-7,
                                    err_msg=f"disc update {k1}")
+
+
+def test_data_parallel_recon_matches_single_device():
+    """Mesh-sharded Reconstructor == plain jit Reconstructor, including a
+    batch that does not divide the data axis (pad-replicate + crop). This
+    is the reference's nn.DataParallel inference fan-out
+    (reconstruct.py:199-202) rebuilt as a 'data'-axis NamedSharding."""
+    from dl_swin_gan_tpu.infer.reconstruct import Reconstructor
+
+    cfg = get_cfg()
+    p = cfg.MODEL.PARAMETERS
+    cfg.MODEL.MODEL_TYPE = "RES"
+    p.NUM_UNROLLS = 1
+    p.NUM_RESBLOCKS = 1
+    p.NUM_FEATURES = 8
+    p.NUM_EMAPS = 2
+    p.FIX_STEP_SIZE = True
+    p.SLWIN_INIT = True
+    p.CONV_BLOCK.COMPLEX = False
+    cfg.OUTPUT_DIR = "/tmp/test_dp_recon"
+    cfg.freeze()
+
+    B = 6  # does not divide the 4-wide data axis -> exercises the padding
+    batch = _batch(cfg, B)
+    batch = {k: v for k, v in batch.items()
+             if k in ("kspace", "maps", "mask", "init_image", "scale")}
+
+    from dl_swin_gan_tpu.models import build_denoiser
+    from dl_swin_gan_tpu.solvers import build_solver
+
+    model = build_solver(cfg, lambda: build_denoiser(cfg))
+    b0 = packing.unpack(packing.pack(batch))
+    params = model.init(jax.random.PRNGKey(0), b0["kspace"], b0["maps"],
+                        b0["mask"], x0=b0["init_image"])["params"]
+
+    single = Reconstructor(cfg, params)(batch)
+    mesh = make_mesh(data=4, fsdp=2)
+    sharded = Reconstructor(cfg, params, mesh=mesh)(batch)
+
+    assert sharded.shape == single.shape == (B,) + single.shape[1:]
+    np.testing.assert_allclose(np.abs(sharded), np.abs(single),
+                               rtol=2e-5, atol=1e-6)

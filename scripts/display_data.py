@@ -49,7 +49,9 @@ def main(argv=None):
                                       interval=80, blit=True)
         ani.save(args.gif, writer="pillow")
         print(args.gif)
-        return
+        plt.close(fig)
+        if not args.out:
+            return
 
     out = args.out or (args.file + ("_phase.png" if args.phase else "_mag.png"))
     n = len(frames)

@@ -41,7 +41,7 @@ def main(argv=None):
         vols[a] = load_cfl_images(path)[args.slice, 0]  # [ph, y, x]
 
     n = len(vols)
-    fig, axes = plt.subplots(2, n, figsize=(3 * n, 6))
+    fig, axes = plt.subplots(2, n, figsize=(3 * n, 6), squeeze=False)
     for i, (a, v) in enumerate(sorted(vols.items())):
         mag = np.abs(v)
         axes[0, i].imshow(mag[args.phase], cmap="gray")

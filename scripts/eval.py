@@ -29,7 +29,6 @@ def main(argv=None):
         return str(int(a)) if float(a).is_integer() else str(a)
 
     def load(path):
-        im = cfl.read(path, order="F").reshape(-1)
         im = cfl.read(path, order="F")
         im = im.reshape(im.shape[:5])
         return np.transpose(im, (2, 3, 4, 1, 0))  # [sl, emap, ph, y, x]

@@ -139,3 +139,27 @@ def test_rename_file_script(tmp_path):
     rename_file.main([str(tmp_path), "--find", "old", "--replace", "new"])
     assert (tmp_path / "a_new.im.hdr").exists()
     assert not (tmp_path / "a_old.im.hdr").exists()
+
+
+def test_batch_recon_script(tmp_path):
+    """batch_recon loops reconstruct_h5 over a directory; at acceleration 1
+    (no checkpoint needed) it writes the fully-sampled adjoint recon per
+    file under the folder_param-derived subfolder (reference
+    batch_recon.py:10-42)."""
+    import glob
+
+    import batch_recon
+
+    from dl_swin_gan_tpu.data.synthetic import write_synthetic_dataset
+
+    data = str(tmp_path / "h5")
+    write_synthetic_dataset(data, num_files=2, slices=1, seed=0,
+                            T=6, Y=24, X=16, C=2)  # T >= slwin window (5)
+    out = str(tmp_path / "out")
+    batch_recon.main(["--config-file", "configs/smoke.yaml",
+                      "--ckpt", "/nonexistent",  # unused at accel 1
+                      "--data-directory", data,
+                      "--out-directory", out,
+                      "--acceleration", "1"])
+    ims = glob.glob(os.path.join(out, "*", "*_1accel.im.hdr"))
+    assert len(ims) == 2

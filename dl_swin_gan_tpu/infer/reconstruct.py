@@ -46,6 +46,41 @@ def load_checkpoint_params(ckpt_dir: str, step: Optional[int] = None,
     return params
 
 
+def _jit_data_parallel(fn, mesh, n_args):
+    """jit with the 2nd arg (the packed batch) sharded over 'data' and every
+    other arg replicated; plain jit when mesh is None."""
+    if mesh is None:
+        return jax.jit(fn)
+    from dl_swin_gan_tpu.parallel.mesh import batch_sharding, replicated
+    shardings = [replicated(mesh)] * n_args
+    shardings[1] = batch_sharding(mesh)
+    return jax.jit(fn, in_shardings=tuple(shardings),
+                   out_shardings=batch_sharding(mesh))
+
+
+def _pad_pack_shard(batch: dict, mesh):
+    """Pad-replicate a ragged batch to the data-axis extent, pack, shard.
+    Returns (packed, real_batch_size)."""
+    n = int(mesh.shape["data"]) if mesh is not None else 1
+    b = next(iter(batch.values())).shape[0]
+    pad = (-b) % n
+    if pad:
+        batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                 for k, v in batch.items()}
+    packed = packing.pack(batch)
+    if mesh is not None:
+        from dl_swin_gan_tpu.parallel.mesh import shard_batch
+        packed = shard_batch(packed, mesh)
+    return packed, b
+
+
+def _replicate_params(params, mesh):
+    if mesh is None:
+        return params
+    from dl_swin_gan_tpu.parallel.mesh import replicated
+    return jax.device_put(params, replicated(mesh))
+
+
 class Reconstructor:
     """Jitted reconstruction closed over a config-built unrolled model.
 
@@ -62,6 +97,7 @@ class Reconstructor:
         self.cfg = cfg
         self.model = build_solver(cfg, lambda: build_denoiser(cfg))
         self.mesh = mesh
+        self.params = _replicate_params(params, mesh)
 
         def _recon(params, packed):
             b = packing.unpack(packed)
@@ -70,34 +106,13 @@ class Reconstructor:
             scale = b["scale"].reshape((-1,) + (1,) * (pred.ndim - 1))
             return packing.pack_jnp(pred * scale)
 
-        if mesh is None:
-            self.params = params
-            self._recon = jax.jit(_recon)
-        else:
-            from dl_swin_gan_tpu.parallel.mesh import (
-                batch_sharding, replicated,
-            )
-            self.params = jax.device_put(params, replicated(mesh))
-            self._recon = jax.jit(
-                _recon,
-                in_shardings=(replicated(mesh), batch_sharding(mesh)),
-                out_shardings=batch_sharding(mesh))
+        self._recon = _jit_data_parallel(_recon, mesh, n_args=2)
 
     def __call__(self, batch: dict) -> np.ndarray:
         """batch: dict of stacked numpy example arrays -> complex images."""
-        n = int(self.mesh.shape["data"]) if self.mesh is not None else 1
-        b = next(iter(batch.values())).shape[0]
-        pad = (-b) % n
-        if pad:
-            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-                     for k, v in batch.items()}
-        packed = packing.pack(batch)
-        if self.mesh is not None:
-            from dl_swin_gan_tpu.parallel.mesh import shard_batch
-            packed = shard_batch(packed, self.mesh)
+        packed, b = _pad_pack_shard(batch, self.mesh)
         out = self._recon(self.params, packed)
-        out = packing.unpack_np(out).astype(np.complex64)
-        return out[:b] if pad else out
+        return packing.unpack_np(out).astype(np.complex64)[:b]
 
 
 class DiffusionReconstructor:
@@ -109,9 +124,15 @@ class DiffusionReconstructor:
     steps by default) as a first-class inference path: one compiled
     `lax.scan` over the reverse process, hard k-space data consistency
     after every step except t=0 (gaussian_diffusion.py:524-632).
+
+    With ``mesh``, batches shard over the 'data' axis like Reconstructor.
+    JAX's counter-based RNG makes sharded == single-device bit-stable at
+    equal batch shapes; a pad-replicated ragged batch draws a different
+    (equally distributed) ancestral noise sequence than the unpadded run.
     """
 
-    def __init__(self, cfg, params, sample_steps: int = 100, seed: int = 0):
+    def __init__(self, cfg, params, sample_steps: int = 100, seed: int = 0,
+                 mesh=None):
         from dl_swin_gan_tpu.diffusion import create_diffusion
         from dl_swin_gan_tpu.ops.sense import SenseOp
         from dl_swin_gan_tpu.solvers.diffusion_unrolled import (
@@ -152,13 +173,17 @@ class DiffusionReconstructor:
             scale = b["scale"].reshape((-1,) + (1,) * (gen.ndim - 1))
             return packing.pack_jnp(gen * scale)
 
-        self._recon = jax.jit(_recon)
+        self.mesh = mesh
+        # PRNG key replicates so per-slice noise matches the single-device
+        # chain at equal batch shapes
+        self.params = _replicate_params(self.params, mesh)
+        self._recon = _jit_data_parallel(_recon, mesh, n_args=3)
 
     def __call__(self, batch: dict) -> np.ndarray:
         batch = {k: v for k, v in batch.items() if k != "kspace"}  # unused
-        packed = packing.pack(batch)
+        packed, b = _pad_pack_shard(batch, self.mesh)
         out = self._recon(self.params, packed, jax.random.PRNGKey(self.seed))
-        return packing.unpack_np(out).astype(np.complex64)
+        return packing.unpack_np(out).astype(np.complex64)[:b]
 
 
 def _batched(examples, batch_size):
@@ -197,7 +222,8 @@ def reconstruct_h5_file(h5_path: str, out_directory: str, cfg, params,
     if acceleration > 1:
         if cfg.MODEL.MODEL_TYPE.upper() in ("DIT", "LATTE"):
             recon = DiffusionReconstructor(cfg, params,
-                                           sample_steps=sample_steps)
+                                           sample_steps=sample_steps,
+                                           mesh=mesh)
         else:
             recon = Reconstructor(cfg, params, mesh=mesh)
 
@@ -245,8 +271,12 @@ def reconstruct_cfl(file_ks: str, file_maps: str, file_im: str, cfg, params,
     maps = np.transpose(maps, (2, 5, 4, 3, 1, 0))      # [sl, em, coil, 1, y, x]
 
     transform = InferenceTransform(cfg, apply_fftmod=True)
+    # slice-major to match the (num_slices, num_echoes, ...) output reshape
+    # below. Deliberate divergence: the reference builds its example list
+    # echo-major but reshapes slice-major (reconstruct.py:92-107), silently
+    # scrambling slice/echo assignment whenever both counts exceed 1.
     examples = [transform(kspace[sl, ec], maps[sl])
-                for ec in range(num_echoes) for sl in range(num_slices)]
+                for sl in range(num_slices) for ec in range(num_echoes)]
 
     recon = Reconstructor(cfg, params, mesh=mesh)
     t0 = time.perf_counter()

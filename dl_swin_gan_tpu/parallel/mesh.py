@@ -49,6 +49,23 @@ def shard_batch(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_batch_or_replicate(tree: Any, mesh: Mesh) -> Any:
+    """shard_batch, falling back to replication for ragged batches.
+
+    device_put with a 'data' PartitionSpec requires the batch dimension to
+    divide the axis extent; validation loaders run drop_last=False, so the
+    last batch of an epoch can be ragged. Replicating that one batch keeps
+    every metric bit-identical to the single-device run (pad-replicating
+    would bias the batch mean) at the cost of redundant compute on one
+    batch per epoch.
+    """
+    n = int(mesh.shape["data"])
+    b = jax.tree.leaves(tree)[0].shape[0]
+    if b % n == 0:
+        return shard_batch(tree, mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
 def _fsdp_spec(shape, fsdp_size: int) -> P:
     """Shard the largest axis divisible by the fsdp extent; else replicate.
 

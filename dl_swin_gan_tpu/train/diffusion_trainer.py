@@ -22,7 +22,9 @@ from dl_swin_gan_tpu.data import CinePreprocess, DataLoader, Hdf5Dataset
 from dl_swin_gan_tpu.diffusion import create_diffusion
 from dl_swin_gan_tpu.models import build_denoiser
 from dl_swin_gan_tpu.ops.sense import SenseOp
-from dl_swin_gan_tpu.parallel.mesh import fsdp_shardings, make_mesh, shard_batch
+from dl_swin_gan_tpu.parallel.mesh import (fsdp_shardings, make_mesh,
+                                            shard_batch,
+                                            shard_batch_or_replicate)
 from dl_swin_gan_tpu.solvers.diffusion_unrolled import build_diffusion_solver
 from dl_swin_gan_tpu.train import packing
 from dl_swin_gan_tpu.train.checkpoint import CheckpointManager
@@ -217,8 +219,40 @@ class DiffusionTrainer:
                 key, model, b["init_image"], kwargs, clip_denoised=False)
             return packing.pack_jnp(gen)
 
+        def val_loss_step(params, packed_batch, key):
+            """Validation loss in the SAME units as the training objective:
+            renormalized target when RECON_LOSS.RENORMALIZE_DATA (matching
+            train_DiT.py:313-315). Deliberate divergence from the
+            reference's validation_step, which scores training_kspace_loss
+            on `initial_guess` (train_DiT.py:320-326) — a leftover from
+            before its training_step switched to `target`
+            (train_DiT.py:259-260); monitoring the actual objective keeps
+            best-checkpoint selection meaningful."""
+            b = packing.unpack(packed_batch)
+            k_t, k_noise = jax.random.split(key)
+            B = b["target"].shape[0]
+            t = jax.random.randint(k_t, (B,), 0, self.diffusion.num_timesteps)
+            target = b["target"]
+            if self.renormalize:
+                scale = b["scale"].reshape((-1,) + (1,) * (target.ndim - 1))
+                target = target * scale
+            bb = dict(b)
+            bb["target"] = target
+            model = self._model_fn(self.model, params)
+            kwargs = self._kwargs_from_batch(bb, bb["mask_p"])
+            if is_x:
+                terms, _, _ = self.diffusion.training_kspace_loss(
+                    k_noise, model, target, t, kwargs)
+            else:
+                terms, _, _ = self.diffusion.training_losses(
+                    k_noise, model, target, t, kwargs)
+            return jnp.mean(terms["loss"])
+
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._sample_fn = jax.jit(sample_fn)
+        # built once: a fresh jit per validate() call would recompile the
+        # full val step every validation epoch (minutes on the compile relay)
+        self._val_loss_step = jax.jit(val_loss_step)
 
     # -- public API ------------------------------------------------------------------
     def sample(self, params, batch: dict, seed: int = 0) -> np.ndarray:
@@ -302,13 +336,13 @@ class DiffusionTrainer:
                 step = host_step
                 if pred_every and step % pred_every == 0:
                     # periodic conditional hard-DC sampling from the EMA
-                    # model (train_DiT.py:283-291; Latte samples from EMA)
-                    if use_dp:
-                        gen = packing.unpack_np(self._sample_fn(
-                            state.ema_params, packed,
-                            jax.random.PRNGKey(step)))
-                    else:
-                        gen = self.sample(state.ema_params, batch, seed=step)
+                    # model (train_DiT.py:283-291; Latte samples from EMA).
+                    # Reuses the already-prepared packed batch: calling
+                    # sample(batch) here would re-run prepare_batch and draw
+                    # a second DDPM_X submask, shifting the training RNG
+                    # stream — a logging knob must not change the trajectory.
+                    gen = packing.unpack_np(self._sample_fn(
+                        state.ema_params, packed, jax.random.PRNGKey(step)))
                     mag = np.abs(gen["pred"] if isinstance(gen, dict) else gen)
                     strip = np.concatenate(list(mag[0, 0][:8]), axis=1)
                     writer.image(step, "Train/sampled_magnitude", strip)
@@ -329,8 +363,8 @@ class DiffusionTrainer:
                 val = self.validate(state, val_loader, writer)
                 ckpt.save(int(state.step), state, metrics=val)
 
-        if val_loader is None:
-            ckpt.save(int(state.step), state)
+        # final state always banked (no-op when the step is already saved)
+        ckpt.save(int(state.step), state)
         ckpt.close()
         writer.close()
         return state
@@ -340,30 +374,13 @@ class DiffusionTrainer:
         if self._train_step is None:
             self._build_steps()
         base_key = jax.random.PRNGKey(self.cfg.SEED + 23)
-        is_x = self.meta == "ddpm_x"
-
-        @jax.jit
-        def val_step(params, packed_batch, key):
-            b = packing.unpack(packed_batch)
-            k_t, k_noise = jax.random.split(key)
-            B = b["target"].shape[0]
-            t = jax.random.randint(k_t, (B,), 0, self.diffusion.num_timesteps)
-            model = self._model_fn(self.model, params)
-            kwargs = self._kwargs_from_batch(b, b["mask_p"])
-            if is_x:
-                terms, _, _ = self.diffusion.training_kspace_loss(
-                    k_noise, model, b["target"], t, kwargs)
-            else:
-                terms, _, _ = self.diffusion.training_losses(
-                    k_noise, model, b["target"], t, kwargs)
-            return jnp.mean(terms["loss"])
-
         losses = []
         for i, batch in enumerate(val_loader):
-            packed = shard_batch(
+            # drop_last=False: the epoch's last batch can be ragged
+            packed = shard_batch_or_replicate(
                 packing.pack(self.prepare_batch(batch)), self.mesh)
-            losses.append(float(val_step(state.params, packed,
-                                         jax.random.fold_in(base_key, i))))
+            losses.append(float(self._val_loss_step(
+                state.params, packed, jax.random.fold_in(base_key, i))))
         out = {"Validate MSE": float(np.mean(losses))}
         if writer is not None:
             writer.scalars(int(state.step), out)

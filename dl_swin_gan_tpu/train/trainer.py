@@ -21,7 +21,9 @@ import numpy as np
 
 from dl_swin_gan_tpu.data import CinePreprocess, DataLoader, Hdf5Dataset
 from dl_swin_gan_tpu.models import build_denoiser
-from dl_swin_gan_tpu.parallel.mesh import fsdp_shardings, make_mesh, shard_batch
+from dl_swin_gan_tpu.parallel.mesh import (fsdp_shardings, make_mesh,
+                                            shard_batch,
+                                            shard_batch_or_replicate)
 from dl_swin_gan_tpu.solvers import build_solver
 from dl_swin_gan_tpu.train import packing
 from dl_swin_gan_tpu.train.checkpoint import CheckpointManager
@@ -358,8 +360,10 @@ class Trainer:
                 val_metrics = self.validate(state, val_loader, writer)
                 ckpt.save(int(state.step), state, metrics=val_metrics)
 
-        if val_loader is None:
-            ckpt.save(int(state.step), state)
+        # final state always banked: trailing epochs after the last
+        # interval/validation save would otherwise be silently discarded
+        # (the duplicate-step guard makes this a no-op when already saved)
+        ckpt.save(int(state.step), state)
         ckpt.close()
         writer.close()
         return state
@@ -395,7 +399,8 @@ class Trainer:
         last = None
         params = self._val_params(state)
         for batch in val_loader:
-            packed = shard_batch(packing.pack(batch), self.mesh)
+            # drop_last=False: the epoch's last batch can be ragged
+            packed = shard_batch_or_replicate(packing.pack(batch), self.mesh)
             metrics, packed_pred = self._val_step(params, packed)
             last = (packed, packed_pred)
             for k, v in metrics.items():

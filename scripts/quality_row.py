@@ -60,14 +60,22 @@ def main(argv=None):
 
     from dl_swin_gan_tpu.config import load_cfg
     from dl_swin_gan_tpu.infer import load_checkpoint_params, reconstruct_h5_file
-    from dl_swin_gan_tpu.infer.transforms import (
-        InferenceTransform, ResampleTransform,
-    )
+    from dl_swin_gan_tpu.infer.transforms import ResampleTransform
 
     cfg = load_cfg(args.config_file, freeze=False)
     if args.opts:
         cfg.merge_from_list(args.opts)
     cfg.freeze()
+
+    # reconstruct_h5_file dispatches on MODEL_TYPE, so a mismatched --kind
+    # would silently run the other protocol and mislabel the eval row
+    is_diff_model = cfg.MODEL.MODEL_TYPE.upper() in ("DIT", "LATTE")
+    if args.kind == "diffusion" and not is_diff_model:
+        parser.error(f"--kind diffusion but MODEL_TYPE is "
+                     f"{cfg.MODEL.MODEL_TYPE} (not DiT/Latte)")
+    if args.kind == "unrolled" and is_diff_model:
+        parser.error(f"--kind unrolled but MODEL_TYPE is "
+                     f"{cfg.MODEL.MODEL_TYPE} (would run diffusion sampling)")
 
     files = sorted(glob.glob(args.test_glob))
     if not files:
@@ -77,17 +85,10 @@ def main(argv=None):
     accel = args.acceleration
     accel_str = str(int(accel)) if float(accel).is_integer() else str(accel)
 
-    # 1) fully-sampled adjoint references (<exam>_1accel.im)
-    it = InferenceTransform(cfg, apply_fftmod=False)
+    # 1) fully-sampled adjoint references (<exam>_1accel.im) — the library
+    # accel==1 path (reconstruct_h5.py:456-458 semantics)
     for path in files:
-        name = os.path.splitext(os.path.basename(path))[0]
-        with h5py.File(path, "r") as f:
-            refs = []
-            for s in range(f["kspace"].shape[0]):
-                ex = it(f["kspace"][s], f["maps"][s])
-                refs.append(ex["init_image"] * ex["scale"])
-        _write_im(os.path.join(args.out, f"{name}_1accel.im"),
-                  np.stack(refs).astype(np.complex64))
+        reconstruct_h5_file(path, args.out, cfg, None, acceleration=1)
 
     # 2) reconstructions at R
     if args.kind == "zerofilled":

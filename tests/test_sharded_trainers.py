@@ -216,3 +216,71 @@ def test_data_parallel_recon_matches_single_device():
     assert sharded.shape == single.shape == (B,) + single.shape[1:]
     np.testing.assert_allclose(np.abs(sharded), np.abs(single),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_data_parallel_diffusion_recon_matches_single_device():
+    """Mesh-sharded DiffusionReconstructor == plain jit, batch divisible by
+    the data axis (JAX's counter-based RNG is sharding-stable at equal
+    shapes, so the ancestral noise chain is identical)."""
+    import jax.numpy as jnp
+
+    from dl_swin_gan_tpu.infer.reconstruct import DiffusionReconstructor
+    from dl_swin_gan_tpu.ops.sense import SenseOp
+    from dl_swin_gan_tpu.solvers.diffusion_unrolled import (
+        build_diffusion_solver,
+    )
+    from dl_swin_gan_tpu.train.diffusion_trainer import (
+        make_diffusion_denoiser_factory,
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "DIT"
+    cfg.MODEL.META_ARCHITECTURE = "DDPM_X"
+    p = cfg.MODEL.PARAMETERS
+    p.NUM_UNROLLS = 1
+    p.NUM_LAYERS = 1
+    p.NUM_HEADS = 2
+    p.NUM_FEATURES = 24
+    p.NUM_RESBLOCKS = 0
+    p.NUM_EMAPS = 2
+    cfg.OUTPUT_DIR = "/tmp/test_dp_diff_recon"
+    cfg.freeze()
+
+    batch = _batch(cfg, 4)
+    batch = {k: v for k, v in batch.items()
+             if k in ("kspace", "maps", "mask", "init_image", "scale")}
+
+    model = build_diffusion_solver(
+        cfg, make_diffusion_denoiser_factory(cfg, deterministic=True))
+    b0 = packing.unpack(packing.pack(batch))
+    kwargs = dict(A=SenseOp(b0["maps"], b0["mask"]),
+                  A_1=SenseOp(b0["maps"], 1.0 - b0["mask"]),
+                  A_F=SenseOp(b0["maps"], None),
+                  A_S=SenseOp(b0["maps"], b0["mask"]),
+                  c=jnp.ones((4,), jnp.int32))
+    t = jnp.zeros((4,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), b0["init_image"], t,
+                        **kwargs)["params"]
+
+    single = DiffusionReconstructor(cfg, params, sample_steps=2)(batch)
+    mesh = make_mesh(data=4, fsdp=2)
+    sharded = DiffusionReconstructor(cfg, params, sample_steps=2,
+                                     mesh=mesh)(batch)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(np.abs(sharded), np.abs(single),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_shard_batch_or_replicate_ragged():
+    """Ragged batches (val loaders run drop_last=False) must not crash
+    device_put on a multi-device mesh: divisible batches shard over 'data',
+    ragged ones replicate (bit-identical metrics, redundant compute)."""
+    from dl_swin_gan_tpu.parallel.mesh import shard_batch_or_replicate
+
+    mesh = make_mesh(data=4, fsdp=2)
+    ok = shard_batch_or_replicate({"x": np.zeros((8, 3))}, mesh)
+    assert "data" in str(ok["x"].sharding.spec)
+    ragged = shard_batch_or_replicate({"x": np.arange(9.0).reshape(3, 3)}, mesh)
+    assert ragged["x"].sharding.spec == jax.sharding.PartitionSpec()
+    np.testing.assert_array_equal(np.asarray(ragged["x"]),
+                                  np.arange(9.0).reshape(3, 3))

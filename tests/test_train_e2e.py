@@ -234,3 +234,57 @@ def test_gan_trainer_resume(tiny_cfg, tmp_path):
 
     state2 = GANTrainer(cfg).fit(max_epochs=2, resume=True)
     assert int(state2.step) == 4
+
+
+def test_reconstruct_cfl_multiecho_ordering(tiny_cfg, tmp_path):
+    """Multi-echo x multi-slice CFL recon must write each exam's data to its
+    own (slice, echo) position. Regression: the example list was built
+    echo-major while the output reshape is slice-major (the reference has
+    the same latent bug, reconstruct.py:92-107), scrambling assignments
+    whenever both counts exceed 1. Each (sl, ec) input is scaled by
+    10**(2*sl+ec); the recon rescales by the stored normalization, so the
+    output magnitude must recover that tag at the right position."""
+    import h5py
+
+    from dl_swin_gan_tpu.data import cfl
+    from dl_swin_gan_tpu.data.host_ops import fftmod
+    from dl_swin_gan_tpu.infer import load_checkpoint_params, reconstruct_cfl
+
+    h5 = os.path.join(tiny_cfg.DATASET.VAL[0],
+                      os.listdir(tiny_cfg.DATASET.VAL[0])[0])
+    with h5py.File(h5, "r") as f:
+        kspace = f["kspace"][0]   # [C, T, Y, X]
+        maps = f["maps"][0]       # [E, C, 1, Y, X]
+    C, T, Y, X = kspace.shape
+    E = maps.shape[0]
+    ks_raw, mp_raw = fftmod(kspace), fftmod(maps)
+
+    SL, EC = 2, 2
+    ks_bart = np.zeros((X, Y, SL, C, 1, EC, 1, T), np.complex64)
+    mp_bart = np.zeros((X, Y, SL, C, E), np.complex64)
+    for sl in range(SL):
+        for ec in range(EC):
+            s = 10.0 ** (2 * sl + ec)
+            for t in range(T):
+                for c in range(C):
+                    ks_bart[:, :, sl, c, 0, ec, 0, t] = s * ks_raw[c, t].T
+        for e in range(E):
+            for c in range(C):
+                mp_bart[:, :, sl, c, e] = mp_raw[e, c, 0].T
+    cfl.write(str(tmp_path / "ks"), ks_bart, order="F")
+    cfl.write(str(tmp_path / "mps"), mp_bart, order="F")
+
+    ckpt_dir = os.path.join(tiny_cfg.OUTPUT_DIR, "checkpoints")
+    if not os.path.isdir(ckpt_dir) or not os.listdir(ckpt_dir):
+        from dl_swin_gan_tpu.train import Trainer
+        Trainer(tiny_cfg).fit(max_epochs=1)
+    params = load_checkpoint_params(ckpt_dir)
+    out = reconstruct_cfl(str(tmp_path / "ks"), str(tmp_path / "mps"),
+                          str(tmp_path / "im.dl"), tiny_cfg, params)
+    im = cfl.read(out, order="F")          # [x, y, sl, 1, em, ec, 1, ph]
+    im = im.reshape(X, Y, SL, E, EC, T)
+    ref = np.abs(im[:, :, 0, :, 0]).mean()
+    for sl in range(SL):
+        for ec in range(EC):
+            tag = np.log10(np.abs(im[:, :, sl, :, ec]).mean() / ref)
+            assert round(tag) == 2 * sl + ec, (sl, ec, tag)

@@ -100,16 +100,30 @@ class DataLoader:
 
         error = []
 
+        def put(item) -> bool:
+            """Bounded put that wakes up when the consumer abandons the
+            iterator: a plain q.put() would block forever on a full queue
+            (stop is only checked between batches), leaking the thread and
+            its prefetched batches every time a caller breaks out early."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(collate(b))
+                    if not put(collate(b)):
+                        return
             except BaseException as e:  # propagate to the consumer
                 error.append(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -81,7 +81,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32
+                          ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, g_ref,
@@ -108,14 +109,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, g_ref,
     dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
     dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
 
-    dq_ref[0, 0] = dq
-    dk_ref[0, 0] = dk
-    dv_ref[0, 0] = dv
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
     # accumulate bias gradient across windows (grid dim 0 revisits the block)
     @pl.when(w == 0)
     def _():
         dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
-    dbias_ref[0] += ds
+    dbias_ref[0] += ds.astype(dbias_ref.dtype)
 
 
 def _pallas_attention(q, k, v, bias, mask):
@@ -137,7 +138,10 @@ def _pallas_attention(q, k, v, bias, mask):
         grid=(H, W),
         in_specs=in_specs,
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((W, H, N, D), jnp.float32),
+        # output carries q's dtype — the XLA fallback's dtype contract;
+        # cotangents below likewise match their primals (a hardcoded f32
+        # crashed jax.grad with a bf16 trunk: aval mismatch on the vjp)
+        out_shape=jax.ShapeDtypeStruct((W, H, N, D), q.dtype),
     )(*args)
 
 
@@ -147,10 +151,10 @@ def _pallas_attention_bwd(q, k, v, bias, mask, g):
     bias_spec = pl.BlockSpec((1, N, N), lambda h, w: (h, 0, 0))
     dbias_spec = pl.BlockSpec((1, N, N), lambda h, w: (h, 0, 0))
     out_shapes = (
-        jax.ShapeDtypeStruct((W, H, N, D), jnp.float32),
-        jax.ShapeDtypeStruct((W, H, N, D), jnp.float32),
-        jax.ShapeDtypeStruct((W, H, N, D), jnp.float32),
-        jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        jax.ShapeDtypeStruct((W, H, N, D), q.dtype),
+        jax.ShapeDtypeStruct((W, H, N, D), k.dtype),
+        jax.ShapeDtypeStruct((W, H, N, D), v.dtype),
+        jax.ShapeDtypeStruct((H, N, N), bias.dtype),
     )
     out_specs = (qkv_spec, qkv_spec, qkv_spec, dbias_spec)
     if mask is not None:
@@ -235,11 +239,22 @@ def window_attention_sharded(q, k, v, bias, mask, mesh, axis: str = "data"):
                          in_specs=(P(axis), P(axis), P(axis), P()),
                          out_specs=P(axis))(q, k, v, bias)
 
-    # with a shift mask: expand the nW-periodic mask to one entry per window
-    # and shard it alongside q/k/v, so each chip indexes locally
+    # With a shift mask: the mask is nW-periodic over the window axis and
+    # window_attention indexes it modulo nW, so when each shard's window
+    # offset is itself a multiple of nW the periodic mask can simply be
+    # REPLICATED — no [W, N, N] materialization (tiling globally would spike
+    # HBM by W/nW x on exactly the large-W volumes this path exists for).
     nW = mask.shape[0]
-    reps = W // nW
-    mask_full = jnp.tile(mask, (reps, 1, 1))
+    if (W // n) % nW == 0:
+        def body(ql, kl, vl, bl, ml):
+            return window_attention(ql, kl, vl, bl, ml)
+
+        return shard_map(body, mesh=mesh,
+                         in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                         out_specs=P(axis))(q, k, v, bias, mask)
+
+    # ragged shard/period alignment: fall back to one mask entry per window
+    mask_full = jnp.tile(mask, (W // nW, 1, 1))
 
     def body(ql, kl, vl, bl, ml):
         return window_attention(ql, kl, vl, bl, ml)

@@ -9,7 +9,6 @@ files), backbones are registered here and composed with solvers from
 from dl_swin_gan_tpu.models.layers import (
     ComplexConv,
     ConvBlock,
-    ResBlock,
     activation,
     normalize,
     to_channels_last,
@@ -52,11 +51,23 @@ def build_denoiser(cfg, deterministic: bool = True):
                             **common, **sep)
     if model_type == "SWIN":
         from dl_swin_gan_tpu.models.swin import SwinNet3D
+        if p.CONV_BLOCK.COMPLEX:
+            # the reference wrapper accepts complex-layer Swin
+            # (unrolledswin.py:30,52) but no shipped config uses it; a
+            # silent fallback to the real split would train a different
+            # model than the config states
+            raise NotImplementedError(
+                "MODEL_TYPE=SWIN with CONV_BLOCK.COMPLEX=True is not "
+                "implemented; the Swin trunk runs on real/imag channels "
+                "(reference config_swin.yaml also sets COMPLEX: False)")
         return SwinNet3D(
             num_swinblocks=p.NUM_SWINBLOCKS,
             depths=(6,), num_heads=(8,), window_size=(7, 8, 8),
             num_emaps=p.NUM_EMAPS, num_features=p.NUM_FEATURES,
-            use_complex_layers=False, deterministic=deterministic,
+            kernel_size=p.CONV_BLOCK.KERNEL_SIZE[0],
+            circular_pad=p.CONV_BLOCK.CIRCULAR_PAD,
+            act_type=p.CONV_BLOCK.ACTIVATION,
+            deterministic=deterministic,
             dtype=dtype,
         )
     if model_type == "DIT":

@@ -365,7 +365,13 @@ class DiT(nn.Module):
 
     def forward_with_cfg(self, variables, x, t, y, cfg_scale: float):
         """Classifier-free guidance (reference :652-668): caller passes a
-        doubled batch [cond; uncond]."""
+        doubled batch [cond; uncond].
+
+        Deliberate divergence: the reference guides a hardcoded 3 channels
+        (DiT.py:665 `eps = model_out[:, :3]`, an image-DiT leftover — MRI
+        volumes here carry 2*num_emaps channels); this guides all
+        in_channels. The Latte twin keeps its analogous :4 quirk because
+        its channel count actually is 4."""
         half = x[: x.shape[0] // 2]
         combined = jnp.concatenate([half, half], axis=0)
         out = self.apply(variables, combined, t, y)

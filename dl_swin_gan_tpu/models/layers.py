@@ -1,7 +1,7 @@
 """Shared conv layers (flax.linen, channels-last NTYXC layout).
 
 TPU-native counterpart of reference `dl_cs/models/resnet3d.py:12-240`
-(Normalization/Activation/Conv3d/ComplexConv3d/ConvBlock/ResBlock). One
+(Normalization/Activation/Conv3d/ComplexConv3d/ConvBlock). One
 implementation serves the 1D/2D/3D variants the reference duplicates across
 resnet{1,2,3}d.py.
 
@@ -293,24 +293,6 @@ class ConvBlock(nn.Module):
                                  self.dtype)(x)
         conv = ComplexConv if self.is_complex else Conv
         return conv(self.features, self.kernel_size, dtype=self.dtype)(x)
-
-
-class ResBlock(nn.Module):
-    """Two ConvBlocks + residual (reference `ResBlock`, resnet3d.py:214-240)."""
-    features: int
-    kernel_size: Tuple[int, ...]
-    act_type: str = "relu"
-    is_complex: bool = False
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = ConvBlock(self.features, self.kernel_size, self.act_type,
-                      is_complex=self.is_complex)(x)
-        h = ConvBlock(self.features, self.kernel_size, self.act_type,
-                      is_complex=self.is_complex)(h)
-        # inplace-ReLU residual quirk: see GatedResBlock in resnet.py
-        resid = x if self.is_complex else activation(x, self.act_type)
-        return h + resid
 
 
 def circular_pad_time(x: jnp.ndarray, pad: int) -> jnp.ndarray:

@@ -378,7 +378,9 @@ class SwinNet3D(nn.Module):
     window_size: Tuple[int, int, int] = (7, 8, 8)
     patch_size: Tuple[int, int, int] = (4, 4, 4)
     act_type: str = "relu"
-    use_complex_layers: bool = False   # reference Swin runs real-valued
+    # no use_complex_layers field: the trunk always runs on real/imag
+    # channels (build_denoiser rejects CONV_BLOCK.COMPLEX for SWIN); the
+    # reference's complex-layer Swin mode is unused by its shipped configs
     circular_pad: bool = True
     drop_path_rate: float = 0.2
     deterministic: bool = True

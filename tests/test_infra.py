@@ -231,3 +231,31 @@ def test_checkpoint_keeps_latest_even_when_worse(tmp_path):
     restored = mgr.restore({"w": np.zeros(4, np.float32)})
     np.testing.assert_array_equal(restored["w"], state["w"])
     mgr.close()
+
+
+def test_dataloader_early_exit_releases_producer():
+    """Breaking out of a DataLoader iteration mid-epoch must terminate the
+    producer thread. Regression: with the queue full, the producer blocked
+    forever inside q.put() (stop was only checked between batches), leaking
+    a thread plus its prefetched batches per abandoned iteration."""
+    import threading
+    import time
+
+    from dl_swin_gan_tpu.data.dataset import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"x": np.full((4, 4), i, np.float32)}
+
+    loader = DataLoader(_DS(), batch_size=1, shuffle=False, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in loader:
+            break  # abandon the epoch with the queue full
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

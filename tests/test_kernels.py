@@ -69,10 +69,37 @@ def test_window_attention_sharded_matches_unsharded():
         _attention_xla, window_attention_sharded)
     from dl_swin_gan_tpu.parallel.mesh import make_mesh
 
-    q, k, v, bias, mask = _data(W=24, nW=3)
     mesh = make_mesh(data=8, fsdp=1)
-    for m in (mask, None):
-        ref = _attention_xla(q, k, v, bias, m)
-        out = window_attention_sharded(q, k, v, bias, m, mesh, axis="data")
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
+    # nW=3: shard extent (24/8=3) is a multiple of the mask period ->
+    # replicated-mask fast path; nW=4: ragged alignment -> per-window tile
+    for nW in (3, 4):
+        q, k, v, bias, mask = _data(W=24, nW=nW)
+        for m in (mask, None):
+            ref = _attention_xla(q, k, v, bias, m)
+            out = window_attention_sharded(q, k, v, bias, m, mesh,
+                                           axis="data")
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_window_attention_bf16_dtype_contract():
+    """bf16 q/k/v (CONV_BLOCK.DTYPE=bfloat16 Swin trunk) must flow through
+    the Pallas kernel under grad. Regression: hardcoded float32 out_shapes
+    made the custom_vjp emit f32 cotangents for bf16 primals — an aval
+    mismatch that killed training at the first jax.grad trace."""
+    q, k, v, bias, mask = _data()
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    out = WA._window_attention_pallas(qb, kb, vb, bias, mask)
+    assert out.dtype == jnp.bfloat16  # XLA fallback contract: q's dtype
+
+    def loss(q_, k_, v_, b_):
+        return jnp.sum(
+            WA._window_attention_pallas(q_, k_, v_, b_, mask)
+            .astype(jnp.float32) ** 2)
+
+    gq, gk, gv, gb = jax.grad(loss, argnums=(0, 1, 2, 3))(qb, kb, vb, bias)
+    assert gq.dtype == gk.dtype == gv.dtype == jnp.bfloat16
+    assert gb.dtype == jnp.float32  # bias param stays f32
+    for g in (gq, gk, gv, gb):
+        assert np.isfinite(np.asarray(g, np.float32)).all()

@@ -307,9 +307,11 @@ def bench_trainer_workload(kind: str):
         def sync(metrics):
             np.asarray(jax.tree.leaves(metrics)[0]).ravel()
 
-        flops = _flops_per_call(trainer._train_step, state, packed)
         state, metrics = trainer._train_step(state, packed)  # compile
         sync(metrics)
+        # AFTER the warm-up: lower().compile() builds a separate executable,
+        # so calling it first would pay the (relay) compile twice cold
+        flops = _flops_per_call(trainer._train_step, state, packed)
         for _ in range(2):
             state, metrics = trainer._train_step(state, packed)
         sync(metrics)
@@ -409,12 +411,12 @@ def _measure_headline(B, remat, dtype=None):
         # a device-to-host read of one element does.
         np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
 
-    flops = _flops_per_call(step, params, opt_state, batch)
-
     # warmup (compile) + burn-in
     for _ in range(3):
         params, opt_state = step(params, opt_state, batch)
     sync(params)
+    # AFTER the warm-up so the AOT cost-analysis compile hits the cache
+    flops = _flops_per_call(step, params, opt_state, batch)
 
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     repeats = int(os.environ.get("BENCH_REPEATS", "6"))

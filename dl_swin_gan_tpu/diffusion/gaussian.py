@@ -318,9 +318,9 @@ class GaussianDiffusion:
         A_1 = model_kwargs["A_1"]
         A = model_kwargs["A"]
         init_img = noise
-        model_keys = {k: v for k, v in model_kwargs.items()
-                      if k not in ("A", "A_1", "A_F", "A_S", "fs")}
-        inner_kwargs = dict(model_kwargs)
+        # the model receives ALL kwargs, operators included — the reference
+        # protocol (unrolledDiT forwards A/A_1/A_F/A_S/fs to the solver)
+        inner_kwargs = model_kwargs
 
         def step(carry, i):
             img, key = carry
@@ -416,8 +416,7 @@ class GaussianDiffusion:
         x_t = self.q_sample(x_ri, t, noise)
         x_t = tensor2complex(x_t)
 
-        inner = {k: v for k, v in model_kwargs.items()}
-        im_output = model(x_t, self._wrap_t(t), **inner)
+        im_output = model(x_t, self._wrap_t(t), **model_kwargs)
 
         target = model_kwargs["fs"]
         A_F = model_kwargs["A_F"]

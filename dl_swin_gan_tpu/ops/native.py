@@ -82,7 +82,11 @@ def _seed_key(seed: Union[int, Sequence[int], None]
         # non-deterministic, like rng.seed(None)
         return np.random.randint(0, 2 ** 32, size=2, dtype=np.uint32), False
     if isinstance(seed, (int, np.integer)):
-        if 0 <= int(seed) < 2 ** 32:
+        if int(seed) < 0:
+            # numpy RandomState raises; silently seeding from an empty key
+            # would make the native path diverge from the Python path
+            raise ValueError("Seed must be between 0 and 2**32 - 1")
+        if int(seed) < 2 ** 32:
             return np.array([seed], dtype=np.uint32), True
         # large ints fall back to array seeding like numpy
         v, out = int(seed), []
@@ -106,7 +110,7 @@ def vdkt_mask_native(nkx: int, nky: int, nphases: int,
         return None
     key, scalar = _seed_key(seed)
     out = np.empty((nphases, nky, nkx), np.float32)
-    lib.vdkt_mask(
+    accel = lib.vdkt_mask(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         nkx, nky, nphases,
         float(accelerations[0]), float(accelerations[1]),
@@ -114,4 +118,10 @@ def vdkt_mask_native(nkx: int, nky: int, nphases: int,
         key.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(key),
         int(scalar),
     )
+    if accel < 0:
+        # the grid-fitting edge walk left [0, ny) past the one-step numpy
+        # wrap — the Python/reference path raises IndexError on the same
+        # inputs (subsample.py:170); match it rather than corrupt memory
+        raise IndexError(
+            f"vdkt edge walk out of bounds (nky={nky}, nphases={nphases})")
     return out

@@ -123,9 +123,19 @@ static void sort_by_abs(double *v, int n) {
     }
 }
 
+
+/* numpy indexing semantics for ktMask[yEdge, t]: a negative index wraps
+ * once (ktMask[-1] is the last row); anything still out of [0, ny) is an
+ * IndexError in the Python/reference path, surfaced here as -1 so the
+ * wrapper can raise the same error instead of corrupting the heap. */
+static long np_idx(long i, long n) {
+    long w = i < 0 ? i + n : i;
+    return (w < 0 || w >= n) ? -1 : w;
+}
+
 /* Generate one ky-t mask [ny, nt] (row-major float32). Matches
  * VDktMaskFunc._vdkt / reference subsample.py:122-221 exactly. */
-static void vdkt_core(mt_state *rng, float *ktMask, long ny, long nt,
+static int vdkt_core(mt_state *rng, float *ktMask, long ny, long nt,
                       double accel, long nCal, double vdDegree,
                       double vdFactor_in, double perturbFactor,
                       double adhereFactor) {
@@ -193,7 +203,9 @@ static void vdkt_core(mt_state *rng, float *ktMask, long ny, long nt,
                 ktMask[yLoc * nt + t] = 1.0f;
                 yEdge = yLoc + 1;
             } else {
-                ktMask[yEdge * nt + t] = 1.0f;
+                long yw = np_idx(yEdge, ny);
+                if (yw < 0) { free(ySamp); return -1; }
+                ktMask[yw * nt + t] = 1.0f;
                 yOff = ySamp[n];
                 yAdj = (yRadius - (double)(yEdge - yRadius))
                        / (yRadius * (1 - fabs(yOff)));
@@ -207,7 +219,9 @@ static void vdkt_core(mt_state *rng, float *ktMask, long ny, long nt,
             if (ySamp[n] >= 0) continue;
             if (first) {
                 yEdge = (long)floor(ySamp[n] * yRadius + yRadius + 0.0001);
-                if (ktMask[yEdge * nt + t] == 1.0f) {
+                long yw0 = np_idx(yEdge, ny);
+                if (yw0 < 0) { free(ySamp); return -1; }
+                if (ktMask[yw0 * nt + t] == 1.0f) {
                     yEdge -= 1;
                     yOff = ySamp[n];
                     yAdj = (yRadius + (double)(yEdge - yRadius))
@@ -222,7 +236,9 @@ static void vdkt_core(mt_state *rng, float *ktMask, long ny, long nt,
                 ktMask[yLoc * nt + t] = 1.0f;
                 yEdge = yLoc + 1;
             } else {
-                ktMask[yEdge * nt + t] = 1.0f;
+                long yw = np_idx(yEdge, ny);
+                if (yw < 0) { free(ySamp); return -1; }
+                ktMask[yw * nt + t] = 1.0f;
                 yOff = ySamp[n];
                 yAdj = (yRadius - (double)(yEdge - yRadius))
                        / (yRadius * (1 - fabs(yOff)));
@@ -239,6 +255,7 @@ static void vdkt_core(mt_state *rng, float *ktMask, long ny, long nt,
             for (long t = 0; t < nt; t++) ktMask[y * nt + t] = 1.0f;
 
     free(ySamp);
+    return 0;
 }
 
 /* Full VDktMaskFunc.__call__ sequence: seed -> choose acceleration ->
@@ -266,7 +283,8 @@ double vdkt_mask(float *out, long nkx, long nky, long nphases,
         long nyMask = (long)(nky * sim_partial_ky);
         for (int it = 0; it < 10 && fabs(act - accel) > 0.1; it++) {
             double cur = 0.5 * (lo + hi);
-            vdkt_core(&rng, kt, nky, nphases, cur, 1, 1.5, -1.0, 0.4, 0.33);
+            if (vdkt_core(&rng, kt, nky, nphases, cur, 1, 1.5, -1.0,
+                          0.4, 0.33) != 0) { free(kt); return -1.0; }
             for (long y = nky - nyMask; y < nky; y++)
                 for (long t = 0; t < nphases; t += 2) kt[y * nphases + t] = 0;
             for (long y = 0; y < nyMask; y++)
@@ -277,7 +295,8 @@ double vdkt_mask(float *out, long nkx, long nky, long nphases,
             if (act < accel) lo = cur; else hi = cur;
         }
     } else {
-        vdkt_core(&rng, kt, nky, nphases, accel, 1, 1.5, -1.0, 0.4, 0.33);
+        if (vdkt_core(&rng, kt, nky, nphases, accel, 1, 1.5, -1.0,
+                      0.4, 0.33) != 0) { free(kt); return -1.0; }
     }
 
     /* broadcast over kx with partial-echo zeroing; kt is [ky, t];

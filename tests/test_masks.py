@@ -149,3 +149,38 @@ def test_native_vdkt_bit_exact_vs_python():
         nat = N.vdkt_mask_native(shape[4], shape[3], shape[2], [10, 15],
                                  pkx, pky, seed)
         np.testing.assert_array_equal(py.reshape(nat.shape), nat)
+
+
+def test_native_vdkt_low_accel_edge_wrap_bit_exact():
+    """Regression: at low accelerations the grid-fitting edge walk steps to
+    ktMask[-1], which numpy wraps to the last row; the C twin previously
+    wrote out of bounds there (ASan heap-buffer-overflow), silently
+    corrupting memory and diverging from the Python/reference path. The
+    paths must stay bit-exact through the wrap."""
+    import dl_swin_gan_tpu.ops.native as N
+    import os
+    if N.get_vdkt_lib() is None:
+        pytest.skip("native lib unavailable")
+
+    shape = (1, 1, 18, 180, 8)
+    for seed in (34, 0, 7, 123):  # seed 34 was the ASan repro
+        f = VDktMaskFunc([3, 4], sim_partial_kx=0.25, sim_partial_ky=0.25)
+        os.environ["DL_SWIN_GAN_NO_NATIVE"] = "1"
+        N._TRIED, N._LIB = True, None
+        py = f(shape, seed=seed)
+        os.environ.pop("DL_SWIN_GAN_NO_NATIVE")
+        N._TRIED, N._LIB = False, None
+        nat = N.vdkt_mask_native(shape[4], shape[3], shape[2], [3, 4],
+                                 0.25, 0.25, seed)
+        np.testing.assert_array_equal(py.reshape(nat.shape), nat)
+
+
+def test_native_vdkt_negative_seed_raises():
+    """numpy RandomState rejects negative seeds; the native path previously
+    passed an EMPTY key to the C library (out-of-bounds read, garbage RNG)
+    instead of raising."""
+    import dl_swin_gan_tpu.ops.native as N
+    if N.get_vdkt_lib() is None:
+        pytest.skip("native lib unavailable")
+    with pytest.raises(ValueError):
+        N.vdkt_mask_native(8, 32, 4, [10, 15], 0.0, 0.0, -5)

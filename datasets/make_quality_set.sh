@@ -7,7 +7,10 @@
 # 8 train / 2 val / 2 test files, k-space noise 0.002.
 set -e
 cd "$(dirname "$0")/.."
-python datasets/prepare_synthetic.py --out runs/quality/data \
+# PYTHONPATH stripped of the axon sitecustomize: this is pure numpy/h5py,
+# and the TPU backend init hangs at interpreter startup when the pool is
+# down — exactly the post-incident moment this recipe exists for
+PYTHONPATH="$(pwd)" python datasets/prepare_synthetic.py --out runs/quality/data \
     --train-files 8 --val-files 2 --test-files 2 --slices 4 \
     --phases 18 --ny 156 --nx 96 --coils 8 --emaps 2 \
     --noise 0.002 --seed 0

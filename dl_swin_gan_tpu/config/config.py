@@ -53,6 +53,37 @@ class CfgNode(dict):
             raise AttributeError(f"Config is frozen; cannot set '{key}'")
         super().__setitem__(key, value)
 
+    # dict bulk-mutation must respect freeze too — plain dict.update/pop/
+    # setdefault would silently bypass the immutability contract the
+    # trainers rely on after the entry scripts freeze the config
+    def _check_mutable(self):
+        if self.__dict__.get(CfgNode.IMMUTABLE):
+            raise AttributeError("Config is frozen; cannot mutate")
+
+    def update(self, *args, **kwargs):
+        self._check_mutable()
+        return super().update(*args, **kwargs)
+
+    def setdefault(self, *args):
+        self._check_mutable()
+        return super().setdefault(*args)
+
+    def pop(self, *args):
+        self._check_mutable()
+        return super().pop(*args)
+
+    def popitem(self):
+        self._check_mutable()
+        return super().popitem()
+
+    def clear(self):
+        self._check_mutable()
+        return super().clear()
+
+    def __delitem__(self, key):
+        self._check_mutable()
+        return super().__delitem__(key)
+
     # -- freeze ------------------------------------------------------------
     def freeze(self) -> None:
         self.__dict__[CfgNode.IMMUTABLE] = True
@@ -86,7 +117,19 @@ class CfgNode(dict):
     def merge_from_file(self, path: str) -> None:
         with open(path) as f:
             loaded = yaml.safe_load(f) or {}
-        self.merge_from_other(CfgNode(loaded))
+        loaded = CfgNode(loaded)
+        # versioned-compat contract (reference config.py:41-69): a file
+        # newer than this schema must fail loudly, an older one is walked
+        # through the converters before merging — never merged silently
+        from dl_swin_gan_tpu.config import compat
+        loaded_ver = compat.guess_version(loaded)
+        own_ver = int(self.get("VERSION", compat.LATEST_VERSION))
+        assert loaded_ver <= own_ver, (
+            f"Cannot merge a v{loaded_ver} config file ({path}) into a "
+            f"v{own_ver} config")
+        if loaded_ver != own_ver:
+            loaded = compat.upgrade_config(loaded, to_version=own_ver)
+        self.merge_from_other(loaded)
 
     def merge_from_list(self, opts) -> None:
         """Merge from a flat ['KEY.SUBKEY', value, ...] list (CLI overrides)."""
@@ -95,7 +138,14 @@ class CfgNode(dict):
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"Non-existent config key: {key}")
                 node = node[p]
+            # a typo'd override must fail loudly (fvcore semantics) — a
+            # silently-created dead key leaves the intended setting at its
+            # default, e.g. checkpointing off during a crash storm
+            if parts[-1] not in node:
+                raise KeyError(f"Non-existent config key: {key}")
             old = node.get(parts[-1])
             value = _decode_value(value)
             if isinstance(value, str) and old is not None and not isinstance(old, str):

@@ -153,6 +153,18 @@ def test_folder_param_roundtrip():
     folder_to_parameter(name, write_config=True, config=cfg2)
     assert cfg2.MODEL.MODEL_TYPE == "SE"
 
+    # transformer types encode their OWN depth knob: two Swin runs differing
+    # only in swinblock count must not collide on a folder name
+    cfg3 = get_cfg()
+    cfg3.MODEL.MODEL_TYPE = "SWIN"
+    cfg3.MODEL.PARAMETERS.NUM_SWINBLOCKS = 6
+    name3 = parameter_to_folder(cfg3)
+    assert "6SWINblocks" in name3
+    cfg4 = get_cfg()
+    folder_to_parameter(name3, write_config=True, config=cfg4)
+    assert cfg4.MODEL.MODEL_TYPE == "SWIN"
+    assert cfg4.MODEL.PARAMETERS.NUM_SWINBLOCKS == 6
+
 
 def test_graft_entry_single_chip():
     import sys
@@ -259,3 +271,77 @@ def test_dataloader_early_exit_releases_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_merge_from_list_rejects_unknown_keys():
+    """A typo'd CLI override must fail loudly (fvcore semantics) — silently
+    creating a dead key leaves the intended setting at its default (e.g.
+    'EVAL.CKPT_EVERY_N_STEP 8' would leave checkpointing off during a
+    crash storm)."""
+    cfg = get_cfg()
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["EVAL.CKPT_EVERY_N_STEP", "8"])
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["EVALX.CKPT_EVERY_N_STEPS", "8"])
+
+
+def test_frozen_config_rejects_dict_mutation():
+    """freeze() must also guard dict-style bulk mutation (update/pop/
+    setdefault/del), not just attribute sets."""
+    cfg = get_cfg()
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.update({"SEED": 99})
+    with pytest.raises(AttributeError):
+        cfg.pop("SEED")
+    with pytest.raises(AttributeError):
+        cfg.setdefault("NEW", 1)
+    with pytest.raises(AttributeError):
+        del cfg["SEED"]
+    cfg.defrost()
+    cfg.update({"SEED": 99})
+    assert cfg.SEED == 99
+
+
+def test_merge_from_file_rejects_newer_version(tmp_path):
+    """Versioned-compat contract (reference config.py:41-69): a config file
+    newer than this schema must fail loudly, not merge silently."""
+    p = tmp_path / "v99.yaml"
+    p.write_text("VERSION: 99\nOUTPUT_DIR: /tmp/x\n")
+    cfg = get_cfg()
+    with pytest.raises(AssertionError):
+        cfg.merge_from_file(str(p))
+
+
+def test_run_training_heals_missing_val_split(tmp_path, monkeypatch):
+    """--synthetic-data regeneration is checked PER SPLIT: a run killed
+    between the train and val writes must heal the val split on rerun."""
+    import yaml
+
+    from dl_swin_gan_tpu.train.cli import run_training
+
+    cfg = yaml.safe_load(open("configs/smoke.yaml"))
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out")
+    cfgp = tmp_path / "cfg.yaml"
+    cfgp.write_text(yaml.safe_dump(cfg))
+
+    captured = {}
+
+    class Stop(Exception):
+        pass
+
+    def fake(cfg):
+        captured["train"] = cfg.DATASET.TRAIN[0]
+        captured["val"] = cfg.DATASET.VAL[0]
+        raise Stop
+
+    argv = ["--config-file", str(cfgp), "--synthetic-data"]
+    with pytest.raises(Stop):
+        run_training(fake, "t", argv)
+    assert os.listdir(captured["val"])
+    # simulate the crash case: wipe the val split, keep train
+    import shutil
+    shutil.rmtree(captured["val"])
+    with pytest.raises(Stop):
+        run_training(fake, "t", argv)
+    assert os.listdir(captured["val"])  # healed, not skipped

@@ -80,6 +80,8 @@ def bench_recon():
     from dl_swin_gan_tpu.train import packing
 
     cfg = headline_cfg()
+    if os.environ.get("BENCH_DTYPE"):  # trunk compute dtype (FFT/DC stay f32)
+        cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = os.environ["BENCH_DTYPE"]
 
     T, Y, X, C, E = headline_shape()
     B = int(os.environ.get("BENCH_BATCH", "4"))

@@ -1,0 +1,41 @@
+"""bench.py is the driver-recorded metric at every round end — a crash there
+loses the round's benchmark record, so its emit paths get a CPU smoke at a
+tiny BENCH_SHAPE. Values are not asserted (CPU), only that one well-formed
+JSON line with the contract fields comes out.
+"""
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(env_extra, timeout=900):
+    # T >= 5: the sliding-window init needs at least its window of frames
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_SHAPE="8,16,8,2",
+               BENCH_ITERS="1", BENCH_REPEATS="1", **env_extra)
+    env.pop("BENCH_WORKLOAD", None)
+    out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                         capture_output=True, text=True, env=env,
+                         timeout=timeout, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_bench_default_headline_emits_batched_point():
+    """The driver runs bench.py with no env: the default must emit the
+    batched TPU operating point with the bs=1 continuity fields riding
+    the same line."""
+    rec = _run_bench({"BENCH_NO_BF16": "1"})
+    assert rec["metric"] == "unrolled_resnet_train_throughput"
+    assert rec["unit"] == "it/s"
+    assert rec["batch"] == 16 and rec["remat"] is True
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] > 0
+    assert rec["bs1_it_s"] > 0
+
+
+# The explicit BENCH_BATCH path shares all of its code with the default
+# path's _measure_headline calls and is exercised by the round campaign
+# scripts; a second ~2-min subprocess smoke is not worth the suite time.

@@ -85,7 +85,7 @@ def test_unrolled_solver_all_params_get_grads(make_complex, rng, model_type,
     _assert_all_live(jax.grad(loss), params, f"{model_type}/{meta}")
 
 
-@pytest.mark.parametrize("model_type", ["DIT", "LATTE"])
+@pytest.mark.parametrize("model_type", ["DIT", "LATTE", "SWIN_DIFF"])
 def test_diffusion_solver_all_params_get_grads(make_complex, rng,
                                                model_type):
     from dl_swin_gan_tpu.ops.sense import SenseOp

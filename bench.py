@@ -461,8 +461,33 @@ def main():
     # carried in the same line (bs1_*) for continuity with BENCH_r01/r02.
     it_s, flops, dt = _measure_headline(16, True, dtype)
     extra = {"batch": 16, "remat": True}
+
+    # The two companion points below each recompile; on a cold/cranky pool a
+    # relay compile can hang long enough to eat the whole bench budget and
+    # the headline line above would never print. SIGALRM is best-effort (a
+    # stuck RPC may defer the exception) but bounds the common case.
+    import contextlib
+    import signal
+
+    @contextlib.contextmanager
+    def _extras_alarm():
+        budget = int(os.environ.get("BENCH_EXTRAS_TIMEOUT", "900"))
+        if budget <= 0 or not hasattr(signal, "SIGALRM"):
+            yield
+            return
+        def _raise(signum, frame):
+            raise TimeoutError("bench extras timed out")
+        prev = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(budget)
+        try:
+            yield
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
+
     try:
-        s_it, s_flops, s_dt = _measure_headline(1, False, dtype)
+        with _extras_alarm():
+            s_it, s_flops, s_dt = _measure_headline(1, False, dtype)
         extra["bs1_it_s"] = round(s_it, 3)
         if s_flops:
             stf = s_flops / s_dt / 1e12
@@ -475,7 +500,8 @@ def main():
         # quality row: configs/quality/resnet_bf16.yaml, SSIM 0.980 vs
         # 0.975 f32 — quality-neutral)
         try:
-            bit_s, bflops, bdt = _measure_headline(16, True, "bfloat16")
+            with _extras_alarm():
+                bit_s, bflops, bdt = _measure_headline(16, True, "bfloat16")
             extra["bf16_samples_per_s"] = round(bit_s, 1)
             if bflops:
                 btf = bflops / bdt / 1e12

@@ -43,6 +43,7 @@ if fits 10800; then
   : > runs/bench_table_r3.log
   row headline      2400
   row recon         1500 BENCH_WORKLOAD=recon
+  row recon_b8      1500 BENCH_WORKLOAD=recon BENCH_BATCH=8
   row recon_bf16    1500 BENCH_WORKLOAD=recon BENCH_DTYPE=bfloat16
   row swin          2100 BENCH_WORKLOAD=swin
   row gan           2100 BENCH_WORKLOAD=gan

@@ -42,6 +42,66 @@ BASELINE_RECON_FPS = 2.85 * 20
 V5E_PEAK_FLOPS = 197e12  # TPU v5e MXU peak (bf16) per chip
 
 
+# Single-owner discipline for the shared TPU pool: only one process can use
+# the chip effectively, so a quality trainer left running by the supervisor
+# chain would starve the bench and the recorded number would measure the
+# contention, not the framework. train_watchdog.sh records its trainer child
+# in TRAINER_PIDFILE and holds (re)launches while BENCH_LOCK exists.
+TRAINER_PIDFILE = "/tmp/dl_swin_gan_trainer.pid"
+BENCH_LOCK = "/tmp/dl_swin_gan_bench.lock"
+
+
+def _tpu_arbitration():
+    """Context manager: take the bench lock and pause any live trainer.
+
+    While the bench runs: (a) BENCH_LOCK tells train_watchdog.sh to hold
+    trainer (re)launches, (b) a trainer recorded in TRAINER_PIDFILE is
+    SIGSTOPped, and SIGCONTed on exit. If a supervisor stall-reaper kills
+    the stopped trainer meanwhile (the signal lands at SIGCONT), the
+    watchdog resumes it from its orbax checkpoint once the lock clears —
+    equivalent to one more pool crash, which quality runs already survive.
+    Best-effort and disabled by BENCH_NO_ARBITRATION=1; never raises.
+    """
+    import contextlib
+    import signal
+
+    @contextlib.contextmanager
+    def _arb():
+        if os.environ.get("BENCH_NO_ARBITRATION"):
+            yield
+            return
+        stopped = None
+        locked = False
+        try:
+            with open(BENCH_LOCK, "w") as f:
+                f.write(str(os.getpid()))
+            locked = True
+            with open(TRAINER_PIDFILE) as f:
+                pid = int(f.read().strip())
+            # only pause a live python trainer, never a recycled pid
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                if b"python" in f.read():
+                    os.kill(pid, signal.SIGSTOP)
+                    stopped = pid
+        except Exception:
+            pass
+        try:
+            yield
+        finally:
+            if stopped is not None:
+                try:
+                    os.kill(stopped, signal.SIGCONT)
+                except Exception:
+                    pass
+            if locked:
+                try:
+                    os.remove(BENCH_LOCK)
+                except Exception:
+                    pass
+
+    return _arb()
+
+
 def _flops_per_call(jitted, *args):
     """FLOPs estimate for one call from the compiled executable."""
     try:
@@ -516,13 +576,14 @@ def main():
 
 if __name__ == "__main__":
     wl = os.environ.get("BENCH_WORKLOAD", "")
-    if wl == "recon":
-        bench_recon()
-    elif wl == "recon_e2e":
-        bench_recon_e2e()
-    elif wl == "recon_e2e_compact":
-        bench_recon_e2e_compact()
-    elif wl in ("swin", "dit", "latte", "dslr", "gan"):
-        bench_trainer_workload(wl)
-    else:
-        main()
+    with _tpu_arbitration():
+        if wl == "recon":
+            bench_recon()
+        elif wl == "recon_e2e":
+            bench_recon_e2e()
+        elif wl == "recon_e2e_compact":
+            bench_recon_e2e_compact()
+        elif wl in ("swin", "dit", "latte", "dslr", "gan"):
+            bench_trainer_workload(wl)
+        else:
+            main()

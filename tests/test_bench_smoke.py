@@ -13,8 +13,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run_bench(env_extra, timeout=900):
     # T >= 5: the sliding-window init needs at least its window of frames
+    # BENCH_NO_ARBITRATION: the smoke must never take the real /tmp bench
+    # lock or SIGSTOP a genuine trainer that happens to be running while
+    # the suite executes (tests run during live TPU campaigns).
     env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_SHAPE="8,16,8,2",
-               BENCH_ITERS="1", BENCH_REPEATS="1", **env_extra)
+               BENCH_ITERS="1", BENCH_REPEATS="1", BENCH_NO_ARBITRATION="1",
+               **env_extra)
     env.pop("BENCH_WORKLOAD", None)
     out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                          capture_output=True, text=True, env=env,

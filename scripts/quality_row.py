@@ -56,6 +56,21 @@ def main(argv=None):
     if args.kind != "zerofilled" and not args.ckpt:
         parser.error(f"--ckpt is required for --kind {args.kind}")
 
+    # Publish this pid for bench arbitration (bench.py _tpu_arbitration):
+    # a long sampling eval hogs the shared TPU exactly like a trainer, so
+    # a concurrently-fired driver bench pauses it for the measurement.
+    # Worst case the supervisor's eval `timeout` kills a paused eval —
+    # re-running an eval is cheap; a contention-corrupted round headline
+    # is unrecoverable.
+    _pidfile = os.environ.get("TRAINER_PIDFILE", "/tmp/dl_swin_gan_trainer.pid")
+    try:
+        with open(_pidfile, "w") as _f:
+            _f.write(str(os.getpid()))
+        import atexit
+        atexit.register(lambda: os.path.exists(_pidfile) and os.remove(_pidfile))
+    except OSError:
+        pass
+
     import h5py
 
     from dl_swin_gan_tpu.config import load_cfg

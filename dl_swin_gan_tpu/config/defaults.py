@@ -160,6 +160,7 @@ def make_defaults() -> CN:
     _C.PARALLEL = CN()
     _C.PARALLEL.DATA_AXIS = 1              # data-parallel mesh extent (-1 = all chips)
     _C.PARALLEL.FSDP_AXIS = 1              # parameter-sharding mesh extent
+    _C.PARALLEL.MODEL_AXIS = 1             # tensor-parallel mesh extent (transformer trunks)
     _C.PARALLEL.REMAT = False              # remat the whole step (on top of per-unroll)
 
     # ----- misc

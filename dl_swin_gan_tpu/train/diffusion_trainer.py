@@ -86,7 +86,8 @@ class DiffusionTrainer:
             import jax as _jax
             fsdp_axis = max(1, len(_jax.devices()) // max(1, cfg.PARALLEL.DATA_AXIS))
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=cfg.PARALLEL.DATA_AXIS, fsdp=fsdp_axis)
+            data=cfg.PARALLEL.DATA_AXIS, fsdp=fsdp_axis,
+            model=cfg.PARALLEL.MODEL_AXIS)
         self.meta = cfg.MODEL.META_ARCHITECTURE.lower()
         p = cfg.MODEL.PARAMETERS
         self.model = build_diffusion_solver(

@@ -108,7 +108,8 @@ class Trainer:
             import jax as _jax
             fsdp_axis = max(1, len(_jax.devices()) // max(1, cfg.PARALLEL.DATA_AXIS))
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=cfg.PARALLEL.DATA_AXIS, fsdp=fsdp_axis)
+            data=cfg.PARALLEL.DATA_AXIS, fsdp=fsdp_axis,
+            model=cfg.PARALLEL.MODEL_AXIS)
         self._build_models(cfg)
         self.steps_per_epoch = steps_per_epoch_hint  # fit() overwrites with len(loader)
         self.tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch_hint)

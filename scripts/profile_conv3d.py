@@ -14,6 +14,9 @@ asserted before timing.
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_conv3d.py
   env: PROBE_BATCHES="1,8" (remat auto-on for B>1), PROFILE_DTYPE=bfloat16,
+       PROBE_DTYPES="float32,bfloat16" (interleaves dtypes in the SAME
+       process/timing rounds — the round-3 bf16 A/B was contaminated by
+       separate sessions; this is the clean version),
        BENCH_ITERS/BENCH_REPEATS, BENCH_SHAPE="T,Y,X,C"
 """
 
@@ -85,7 +88,8 @@ def main():
     from dl_swin_gan_tpu.utils.headline import headline_shape
 
     T, Y, X, C, E = headline_shape()
-    dtype = os.environ.get("PROFILE_DTYPE", "float32")
+    dtypes = os.environ.get(
+        "PROBE_DTYPES", os.environ.get("PROFILE_DTYPE", "float32")).split(",")
     batches = [int(v) for v in
                os.environ.get("PROBE_BATCHES", "1,8").split(",")]
     modes = os.environ.get("PROBE_MODES", "xla,tap").split(",")
@@ -97,38 +101,73 @@ def main():
 
     for B in batches:
         remat = B > 1
-        step_py, args = build_step(dtype, remat, B, T, Y, X, C, E)
-        compiled, loss0 = {}, {}
-        for mode in modes:
-            os.environ["DL_SWIN_GAN_CONV3D"] = mode
-            fn = jax.jit(lambda p, o, b, _f=step_py: _f(p, o, b))
-            p2, o2, loss = fn(*args)
-            sync(p2)
-            compiled[mode], loss0[mode] = fn, float(loss)
+        # one variant per (dtype, mode); all traced/compiled up front, then
+        # timed interleaved across the SAME repeat rounds (hazard-2
+        # discipline: one process, min over repeats)
+        compiled, loss0, varargs = {}, {}, {}
+        for dtype in dtypes:
+            step_py, args = build_step(dtype, remat, B, T, Y, X, C, E)
+            for mode in modes:
+                os.environ["DL_SWIN_GAN_CONV3D"] = mode
+                fn = jax.jit(lambda p, o, b, _f=step_py: _f(p, o, b))
+                try:
+                    p2, o2, loss = fn(*args)
+                    sync(p2)
+                except Exception as e:  # OOM is a RESULT, not a crash:
+                    # tap materializes the temporal taps as a batch axis;
+                    # at large B that can exceed HBM (observed: B=16 needs
+                    # 29.3G of 15.75G). Record and keep probing.
+                    msg = str(e).splitlines()[0][:160]
+                    print(f"B={B} dtype={dtype} mode={mode}: "
+                          f"COMPILE FAILED ({msg})")
+                    continue
+                key = (dtype, mode)
+                compiled[key], loss0[key], varargs[key] = fn, float(loss), args
         os.environ.pop("DL_SWIN_GAN_CONV3D", None)
         base_mode = modes[0]
+        if not compiled:
+            print(f"B={B}: no variant compiled; skipping")
+            continue
         print(f"B={B} loss " + " ".join(
-            f"{m}={loss0[m]:.6f}" for m in modes))
-        for m in modes[1:]:
-            rel = (abs(loss0[base_mode] - loss0[m])
-                   / max(abs(loss0[base_mode]), 1e-12))
-            assert rel < 1e-4, f"{m} lowering diverges from {base_mode}: {rel}"
+            f"{d}/{m}={loss0[(d, m)]:.6f}" for d, m in compiled))
+        # lowering equivalence is asserted within each dtype (bf16 vs f32
+        # losses legitimately differ)
+        for dtype in dtypes:
+            tol = 1e-4 if dtype == "float32" else 5e-3
+            for m in modes[1:]:
+                if (dtype, m) not in loss0 or (dtype, base_mode) not in loss0:
+                    continue
+                rel = (abs(loss0[(dtype, base_mode)] - loss0[(dtype, m)])
+                       / max(abs(loss0[(dtype, base_mode)]), 1e-12))
+                assert rel < tol, \
+                    f"{dtype}/{m} lowering diverges from {base_mode}: {rel}"
 
-        best = {m: float("inf") for m in compiled}
+        best = {k: float("inf") for k in compiled}
         for _ in range(repeats):
-            for mode, fn in compiled.items():
+            for key, fn in compiled.items():
                 t0 = time.perf_counter()
                 out = None
                 for _ in range(iters):
-                    out = fn(*args)
+                    out = fn(*varargs[key])
                 sync(out[0])
-                best[mode] = min(best[mode],
-                                 (time.perf_counter() - t0) / iters)
-        cols = " | ".join(
-            f"{m} {best[m]*1e3:8.2f} ms/it ({B/best[m]:.2f} samples/s, "
-            f"{best[base_mode]/best[m]:.2f}x vs {base_mode})"
-            for m in modes)
-        print(f"B={B} dtype={dtype} remat={remat}: {cols}")
+                best[key] = min(best[key],
+                                (time.perf_counter() - t0) / iters)
+        for dtype in dtypes:
+            avail = [m for m in modes if (dtype, m) in best]
+            if not avail:
+                continue
+            base = best[(dtype, avail[0])]
+            cols = " | ".join(
+                f"{m} {best[(dtype, m)]*1e3:8.2f} ms/it "
+                f"({B/best[(dtype, m)]:.2f} samples/s, "
+                f"{base/best[(dtype, m)]:.2f}x vs {avail[0]})"
+                for m in avail)
+            print(f"B={B} dtype={dtype} remat={remat}: {cols}")
+        champ = min(best, key=best.get)
+        ref = best.get((dtypes[0], base_mode), best[champ])
+        print(f"B={B} best variant: {champ[0]}/{champ[1]} "
+              f"{best[champ]*1e3:.2f} ms/it ({ref/best[champ]:.2f}x vs "
+              f"{dtypes[0]}/{base_mode})")
 
 
 if __name__ == "__main__":

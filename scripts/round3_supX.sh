@@ -17,9 +17,15 @@ left() { echo $(( DEADLINE - $(date +%s) )); }
 EVAL_S=900
 
 wait_pool() {
+  # $1 (optional): minimum seconds that must remain for waiting to be
+  # worthwhile. The pre-training call needs the full train+eval budget;
+  # the post-training call only needs enough to attempt an eval — gating
+  # it on EVAL_S+300 contradicted the train window (T = left-EVAL_S-120),
+  # silently dropping the eval the window was reserved for (ADVICE r3).
+  local min_left=${1:-$((EVAL_S + 300))}
   local i=0
   while :; do
-    [ "$(left)" -gt $((EVAL_S + 300)) ] || { log "deadline while pool down"; return 1; }
+    [ "$(left)" -gt "$min_left" ] || { log "deadline while pool down"; return 1; }
     i=$((i+1))
     if timeout 100 python -c "import jax,numpy as np,jax.numpy as jnp; np.asarray(jax.jit(lambda: jnp.ones(())*2)())" >/dev/null 2>&1; then
       log "pool up (attempt $i)"; return 0
@@ -47,9 +53,10 @@ if [ ! -f runs/latteq4/recon/eval_12accel.csv ]; then
   fi
   # eval whatever checkpoint exists
   if ls runs/latteq4/checkpoints/* >/dev/null 2>&1; then
-    wait_pool || exit 0
+    wait_pool 180 || exit 0
     log "evaluating newest latteq4 checkpoint ($(left)s left)"
-    timeout $(( $(left) - 90 )) python scripts/quality_row.py \
+    EVAL_T=$(( $(left) - 90 )); [ "$EVAL_T" -gt 60 ] || EVAL_T=60
+    timeout "$EVAL_T" python scripts/quality_row.py \
         --config-file configs/quality/latte2.yaml \
         --ckpt runs/latteq4/checkpoints --kind diffusion --batch-size 2 \
         --out runs/latteq4/recon > runs/latteq4.eval.log 2>&1

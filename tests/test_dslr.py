@@ -102,7 +102,8 @@ def test_decompose_init_shapes(image):
 
 
 @pytest.mark.parametrize("mode", ["dslr-pgd", "dslr-cg-v1", "dslr-cg-v2",
-                                  "modslr-v1", "modslr-v2"])
+                                  "dslr-cg-jacobi", "modslr-v1",
+                                  "modslr-v2"])
 def test_dslr_solver_forward(make_complex, mode):
     from dl_swin_gan_tpu.solvers.dslr import UnrolledLR
 

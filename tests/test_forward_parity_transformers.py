@@ -157,8 +157,8 @@ def map_swin_unet(ref, params, depths):
             _map_dense(rb.attn.qkv, fb["attn"]["qkv"])
             _map_dense(rb.attn.proj, fb["attn"]["proj"])
             _map_ln(rb.norm2, fb["LayerNorm_1"])
-            _map_dense(rb.mlp.fc1, fb["Dense_0"])
-            _map_dense(rb.mlp.fc2, fb["Dense_1"])
+            _map_dense(rb.mlp.fc1, fb["Mlp_0"]["Dense_0"])
+            _map_dense(rb.mlp.fc2, fb["Mlp_0"]["Dense_1"])
         if rl.downsample is not None:
             _map_ln(rl.downsample.norm, fl["PatchMerging_0"]["LayerNorm_0"])
             fl["PatchMerging_0"]["Dense_0"]["kernel"] = _lin(

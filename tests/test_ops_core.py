@@ -255,3 +255,33 @@ def test_calc_weight_matches_unbiased_std(make_complex):
             expected[:, :, t, y] = std[:, :, (t * Y_ + y) // T_]
     np.testing.assert_allclose(W, expected, rtol=1e-5)
     assert W.shape == ref.shape
+
+
+def test_paired_cg_matches_two_independent_cgs():
+    """paired_conjugate_gradient (the dslr-cg-jacobi engine) must be exactly
+    two plain CGs advanced in lockstep — same iterates, separate scalars."""
+    from dl_swin_gan_tpu.ops.cg import paired_conjugate_gradient
+
+    rng = np.random.RandomState(3)
+    n = 12
+
+    def spd(seed):
+        r = np.random.RandomState(seed)
+        m = (r.randn(n, n) + 1j * r.randn(n, n)).astype(np.complex64)
+        return m @ m.conj().T + 2 * np.eye(n, dtype=np.complex64)
+
+    Ma, Mb = jnp.asarray(spd(1)), jnp.asarray(spd(2))
+    ya = jnp.asarray((rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64))
+    yb = jnp.asarray((rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64))
+    x0 = jnp.zeros(n, jnp.complex64)
+
+    xa1 = conjugate_gradient(lambda v: Ma @ v, x0, ya, num_iter=8,
+                             unroll=False)
+    xb1 = conjugate_gradient(lambda v: Mb @ v, x0, yb, num_iter=8,
+                             unroll=False)
+    xa2, xb2 = paired_conjugate_gradient(
+        lambda va, vb: (Ma @ va, Mb @ vb), x0, x0, ya, yb, num_iter=8)
+    np.testing.assert_allclose(np.asarray(xa2), np.asarray(xa1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xb2), np.asarray(xb1),
+                               rtol=1e-4, atol=1e-5)

@@ -128,3 +128,77 @@ def test_tp_rules_indivisible_fall_back():
     sh = fsdp_shardings(tree, mesh)
     assert "model" not in str(sh["Attention_0"]["qkv"]["kernel"].spec)
     assert sh["Mlp_0"]["Dense_0"]["kernel"].spec == P("fsdp", "model")
+
+
+def test_tp_step_matches_single_device_swin(tmp_path):
+    """Swin trunk tensor parallelism (round-3 verdict #5): the Swin blocks
+    now use the shared Mlp module, so `_TP_RULES` must really shard BOTH the
+    window-attention qkv/proj kernels and the MLP kernels over 'model', and
+    a TP-mesh first step must match the 1-device step."""
+    from dl_swin_gan_tpu.train.trainer import Trainer
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_TYPE = "SWIN"
+    cfg.MODEL.META_ARCHITECTURE = "dlespirit"
+    p = cfg.MODEL.PARAMETERS
+    p.NUM_UNROLLS = 1
+    p.NUM_RESBLOCKS = 1
+    p.NUM_SWINBLOCKS = 1
+    p.NUM_FEATURES = 16
+    p.NUM_EMAPS = 2
+    p.SLWIN_INIT = False
+    p.CONV_BLOCK.COMPLEX = False  # Swin trunk runs real/imag channels
+    cfg.MODEL.RECON_LOSS.RENORMALIZE_DATA = False
+    cfg.AUG_TRAIN.UNDERSAMPLE.ACCELERATIONS = (3, 4)
+    cfg.AUG_TRAIN.UNDERSAMPLE.PARTIAL_KY = 0.0
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    t1 = Trainer(cfg, mesh=make_mesh(
+        data=1, fsdp=1, model=1, devices=jax.devices()[:1]))
+    tp_mesh = make_mesh(data=2, fsdp=2, model=2)
+    assert axis_size(tp_mesh, "model") == 2
+    ttp = Trainer(cfg, mesh=tp_mesh)
+
+    batch = _batch(cfg, B=2)
+
+    def _step(trainer):
+        state = trainer.init_state(batch, seed=0)
+        trainer._build_steps()
+        packed = shard_batch(packing.pack(batch), trainer.mesh)
+        new_state, metrics = trainer._train_step(state, packed)
+        return state, new_state, {k: float(v) for k, v in metrics.items()}
+
+    s1, n1, m1 = _step(t1)
+    stp, ntp, mtp = _step(ttp)
+
+    specs = _leaf_specs(stp.params)
+    for suffix, ax in (("attn/qkv/kernel", 1), ("Mlp_0/Dense_0/kernel", 1),
+                       ("Mlp_0/Dense_1/kernel", 0)):
+        hits = {k: v for k, v in specs.items() if k.endswith(suffix)}
+        assert hits, f"no {suffix} params found in SWIN tree"
+        for k, (spec, leaf) in hits.items():
+            assert spec is not None and "model" in tuple(spec), (
+                f"{k} not tensor-parallel: spec={spec}")
+            shard = leaf.addressable_shards[0]
+            assert shard.data.shape[ax] * 2 == leaf.shape[ax], (
+                f"{k}: shard {shard.data.shape} vs global {leaf.shape}")
+
+    assert set(m1) == set(mtp)
+    for k in m1:
+        np.testing.assert_allclose(
+            m1[k], mtp[k], rtol=2e-3, atol=1e-6,
+            err_msg=f"metric {k} diverges between 1-device and 2x2x2 mesh")
+
+
+def test_tp_mesh_with_no_matchable_params_raises():
+    """The silent-TP-loss guard: requesting a model>1 mesh over a tree with
+    nothing tensor-parallelizable (e.g. a pure-conv net, or after a rename
+    breaks the rules) must raise instead of quietly sharding fsdp-only."""
+    from dl_swin_gan_tpu.parallel.mesh import fsdp_shardings
+
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    tree = {"ConvBlock_0": {
+        "Conv_0": {"kernel": jax.ShapeDtypeStruct((3, 3, 3, 16, 16),
+                                                  np.float32)}}}
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        fsdp_shardings(tree, mesh)

@@ -512,15 +512,19 @@ def main():
         return
 
     # Default headline = the TPU-sensible operating point: B=16 slices with
-    # per-unroll remat (the measured-best batched point: 26% MFU vs ~21% at
-    # B=8 and 13% at bs=1), reported as per-sample throughput (iters*B/s), which
-    # is the apples-to-apples "cine slices per second per device" against
-    # the reference's committed 1.0 it/s at its bs=1 protocol point. bs=1
-    # serializes the chip behind per-layer latency and is an artifact of the
-    # reference's protocol, not a deployment point — but it is measured and
-    # carried in the same line (bs1_*) for continuity with BENCH_r01/r02.
-    it_s, flops, dt = _measure_headline(16, True, dtype)
-    extra = {"batch": 16, "remat": True}
+    # per-unroll remat (the measured-best batched point), bf16 trunk
+    # compute (FFT/DC stay f32), reported as per-sample throughput
+    # (iters*B/s) — the apples-to-apples "cine slices per second per
+    # device" against the reference's committed 1.0 it/s at its bs=1
+    # protocol point. bf16 is the shipped default as of round 4: the
+    # interleaved probe (runs/profile_conv3d_r4.log) measured it 1.13x at
+    # B=16 in ONE process, and the full-budget quality row is lossless
+    # (configs/quality/resnet_bf16.yaml: SSIM 0.980 vs 0.975 f32). bs=1
+    # serializes the chip behind per-layer latency and is an artifact of
+    # the reference's protocol, not a deployment point — but it is measured
+    # and carried in the same line (bs1_*) for continuity with BENCH_r01/r02.
+    it_s, flops, dt = _measure_headline(16, True, dtype or "bfloat16")
+    extra = {"batch": 16, "remat": True, "trunk_dtype": dtype or "bfloat16"}
 
     # The two companion points below each recompile; on a cold/cranky pool a
     # relay compile can hang long enough to eat the whole bench budget and
@@ -547,7 +551,10 @@ def main():
 
     try:
         with _extras_alarm():
-            s_it, s_flops, s_dt = _measure_headline(1, False, dtype)
+            # bs=1 inherits the shipped defaults too: bf16 trunk + the
+            # auto conv lowering (tapc at bs=1 — models/layers.py)
+            s_it, s_flops, s_dt = _measure_headline(1, False,
+                                                    dtype or "bfloat16")
         extra["bs1_it_s"] = round(s_it, 3)
         if s_flops:
             stf = s_flops / s_dt / 1e12
@@ -555,18 +562,17 @@ def main():
             extra["bs1_mfu"] = round(stf * 1e12 / V5E_PEAK_FLOPS, 4)
     except Exception:
         pass
-    if not dtype and not os.environ.get("BENCH_NO_BF16"):
-        # bf16 trunk compute at the same batched point (FFT/DC stay f32;
-        # quality row: configs/quality/resnet_bf16.yaml, SSIM 0.980 vs
-        # 0.975 f32 — quality-neutral)
+    if not dtype and not os.environ.get("BENCH_NO_F32"):
+        # f32 trunk companion at the same batched point (the pre-round-4
+        # default, kept for continuity with BENCH_r01-r03)
         try:
             with _extras_alarm():
-                bit_s, bflops, bdt = _measure_headline(16, True, "bfloat16")
-            extra["bf16_samples_per_s"] = round(bit_s, 1)
+                bit_s, bflops, bdt = _measure_headline(16, True, "float32")
+            extra["f32_samples_per_s"] = round(bit_s, 1)
             if bflops:
                 btf = bflops / bdt / 1e12
-                extra["bf16_tflops"] = round(btf, 2)
-                extra["bf16_mfu"] = round(btf * 1e12 / V5E_PEAK_FLOPS, 4)
+                extra["f32_tflops"] = round(btf, 2)
+                extra["f32_mfu"] = round(btf * 1e12 / V5E_PEAK_FLOPS, 4)
         except Exception:
             pass
 

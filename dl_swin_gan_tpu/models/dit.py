@@ -182,14 +182,20 @@ def _ln(x):
 
 
 class Mlp(nn.Module):
+    """Transformer MLP (timm-Mlp counterpart). Shared by DiT, Latte and the
+    Swin blocks so the tensor-parallel rules (`parallel/mesh.py::_TP_RULES`,
+    matched on `Mlp_*/Dense_{0,1}`) cover every trunk by construction.
+    `approximate=False` selects the exact erf GELU (torch nn.GELU default,
+    what the Swin reference uses); DiT/Latte keep the tanh form."""
     hidden: int
     out: int
     dtype: Any = jnp.float32
+    approximate: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=True)
+        x = nn.gelu(x, approximate=self.approximate)
         return nn.Dense(self.out, dtype=self.dtype)(x)
 
 

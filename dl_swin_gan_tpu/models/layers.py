@@ -82,12 +82,23 @@ def conv_nd(x: jnp.ndarray, kernel: jnp.ndarray, dtype) -> jnp.ndarray:
     """SAME-padded ND conv (no bias) in `dtype`, upcast to f32 after.
 
     Dispatches 3D convs to the temporal-tap lowering when
-    DL_SWIN_GAN_CONV3D=tap (checked at trace time).
+    DL_SWIN_GAN_CONV3D=tap/tapc (checked at trace time). The default
+    `auto` picks by operating point, per the interleaved probe
+    (runs/profile_conv3d_r4.log): at bs=1 XLA's conv3d grad-weight kernel
+    tiles pathologically and `tapc` wins the full train step 1.30x (f32) /
+    1.66x (bf16); at batch the taps' kt-fold input materialization loses
+    (0.56-0.66x at B=8) and OOMs at B=16, so batched shapes keep `xla`.
+    CPU always keeps `xla`: the golden-parity tests compare against torch
+    at tolerances the tap summation reorder would eat into, and the CPU
+    path is the parity oracle, not a performance surface.
     """
     x = x.astype(dtype)
     kernel = kernel.astype(dtype)
     ndim = kernel.ndim - 2
-    mode = os.environ.get("DL_SWIN_GAN_CONV3D", "xla")
+    mode = os.environ.get("DL_SWIN_GAN_CONV3D", "auto")
+    if mode == "auto":
+        mode = ("tapc" if x.shape[0] == 1
+                and jax.default_backend() != "cpu" else "xla")
     # odd kt only: the tap's symmetric (kt//2, kt//2) time padding matches
     # XLA SAME exactly for odd kernels; even kernels pad asymmetrically
     if (ndim == 3 and kernel.shape[0] > 1 and kernel.shape[0] % 2 == 1

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dl_swin_gan_tpu.models.dit import Mlp
 from dl_swin_gan_tpu.models.layers import (
     ConvBlock, circular_pad_time, crop_time, to_channels_last,
     to_solver_layout,
@@ -218,13 +219,14 @@ class SwinBlock3D(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, self.deterministic)(h)
 
-        # MLP part
+        # MLP part — the shared Mlp module (models/dit.py) rather than two
+        # anonymous Denses, so the param path carries the `Mlp_*` scope the
+        # tensor-parallel rules match on (round-3 verdict: anonymous
+        # `Dense_0/Dense_1` silently fell through to the fsdp rule).
+        # approximate=False: reference Mlp uses torch nn.GELU() = exact erf.
         h = LayerNorm()(x)
-        hidden = int(self.dim * self.mlp_ratio)
-        h = nn.Dense(hidden, dtype=self.dtype)(h)
-        # reference Mlp uses torch nn.GELU() = exact erf form (not tanh)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                dtype=self.dtype, approximate=False)(h)
         return x + DropPath(self.drop_path, self.deterministic)(h)
 
 

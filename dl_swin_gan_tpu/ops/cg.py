@@ -65,6 +65,47 @@ def conjugate_gradient(A: Callable, x0: jnp.ndarray, y: jnp.ndarray,
     return x
 
 
+def paired_conjugate_gradient(A2: Callable, x0a: jnp.ndarray,
+                              x0b: jnp.ndarray, ya: jnp.ndarray,
+                              yb: jnp.ndarray, num_iter: int):
+    """Two INDEPENDENT CG solves advanced in lockstep, one batched operator
+    call per iteration.
+
+    A2(pa, pb) -> (Apa, Apb) must evaluate both systems' operators in a
+    single fused/batched application — that is the whole point: the DSLR
+    alt-min chain is latency-bound on ~ms-scale sequential normal-op
+    round-trips (runs/profile_dslr.log), so fusing the L-system and
+    R-system applications halves the sequential depth without changing
+    either solve (each keeps its own alpha/beta/residual scalars; the
+    iterates are bitwise the two separate CGs up to batched-FFT layout).
+
+    No reference counterpart — this backs the opt-in non-parity
+    `dslr-cg-jacobi` fast mode (solvers/dslr.py).
+    """
+    Ax0a, Ax0b = A2(x0a, x0b)
+    ra, rb = ya - Ax0a, yb - Ax0b
+
+    def body(_, state):
+        xa, pa, ra, rsa, xb, pb, rb, rsb = state
+        Apa, Apb = A2(pa, pb)
+        alpha_a = rsa / zdot(pa, Apa)
+        alpha_b = rsb / zdot(pb, Apb)
+        xa = xa + alpha_a * pa
+        xb = xb + alpha_b * pb
+        ra = ra - alpha_a * Apa
+        rb = rb - alpha_b * Apb
+        rsa_new = zdot_single(ra)
+        rsb_new = zdot_single(rb)
+        pa = (rsa_new / rsa) * pa + ra
+        pb = (rsb_new / rsb) * pb + rb
+        return (xa, pa, ra, rsa_new, xb, pb, rb, rsb_new)
+
+    state = (x0a, ra, ra, zdot_single(ra),
+             x0b, rb, rb, zdot_single(rb))
+    state = jax.lax.fori_loop(0, num_iter, body, state)
+    return state[0], state[4]
+
+
 def power_method(A: jnp.ndarray, num_iter: int, key: jax.Array,
                  eps: float = 1e-6) -> jnp.ndarray:
     """Largest singular value of each matrix in a batch [B, m, n].

@@ -101,8 +101,10 @@ def _fsdp_spec(shape, fsdp_size: int) -> P:
 
 
 # Megatron partition rules for the shared transformer vocabulary
-# (models/dit.py Attention/Mlp, reused by Latte and name-matched by Swin's
-# WindowAttention): kernel axis index to put on 'model'. Column-parallel
+# (models/dit.py Attention/Mlp, reused by Latte, and name-matched by Swin's
+# WindowAttention qkv/proj + its shared-Mlp blocks — Swin uses the same Mlp
+# module precisely so these rules cover it; see models/swin.py MLP part):
+# kernel axis index to put on 'model'. Column-parallel
 # layers (qkv, MLP up-projection) split their OUTPUT features; the paired
 # row-parallel layer (attention proj, MLP down-projection) splits its INPUT
 # features so the only cross-shard sum is one all-reduce per block output.
@@ -156,11 +158,27 @@ def fsdp_shardings(params_shapes: Any, mesh: Mesh) -> Any:
     """
     fsdp_size = axis_size(mesh, "fsdp")
     tp_size = axis_size(mesh, "model")
+    tp_matched = [0]
 
     def _one(path, leaf):
         spec = _tp_spec(_path_str(path), leaf.shape, tp_size, fsdp_size)
         if spec is None:
             spec = _fsdp_spec(leaf.shape, fsdp_size)
+        elif "model" in tuple(spec):
+            tp_matched[0] += 1
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(_one, params_shapes)
+    out = jax.tree_util.tree_map_with_path(_one, params_shapes)
+    # Guard against silent TP loss (round-3 verdict #5): a mesh with a real
+    # 'model' axis over a param tree where NO rule matched means either the
+    # net has nothing tensor-parallelizable (requesting TP is a config
+    # error) or a module rename broke the path regexes — both must fail
+    # loudly, not fall back to fsdp-only replication.
+    if tp_size > 1 and tp_matched[0] == 0:
+        paths = [_path_str(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(params_shapes)[0]]
+        raise ValueError(
+            "mesh has model axis of size %d but no parameter matched any "
+            "tensor-parallel rule (_TP_RULES); first params: %s"
+            % (tp_size, paths[:8]))
+    return out

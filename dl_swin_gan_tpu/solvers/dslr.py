@@ -157,6 +157,49 @@ class UnrolledLR(nn.Module):
                     R = cnn_R(i, R)
             return comp(L, R)
 
+        if mode == "dslr-cg-jacobi":
+            # Opt-in NON-PARITY fast mode (round-4 verdict #8); no reference
+            # counterpart. Two changes vs the golden-pinned dslr-cg-v1
+            # (reference dslr.py:258-341):
+            #   1. Jacobi instead of Gauss-Seidel coupling: both factor
+            #      solves run against the PREVIOUS unroll's (L, R) instead
+            #      of R's solve seeing the freshly-updated L. This makes the
+            #      two CG chains independent...
+            #   2. ...so each CG iteration evaluates BOTH normal operators
+            #      in one batch-2 SENSE call (paired_conjugate_gradient):
+            #      the sequential chain shrinks from
+            #      unrolls*(2 solves)*(cg_steps) small round-trips to
+            #      unrolls*cg_steps twice-as-heavy ones — exactly the lever
+            #      the profile says this latency-bound solver needs
+            #      (runs/profile_dslr.log: ~100 sequential ~3 ms ops).
+            # Quality is re-established empirically by its own row
+            # (configs/quality/dslr_fast.yaml), never assumed from parity.
+            from dl_swin_gan_tpu.ops.cg import paired_conjugate_gradient
+
+            maps2 = jnp.concatenate([maps, maps], axis=0)
+            mask2 = (None if mask is None
+                     else jnp.concatenate([mask, mask], axis=0))
+            A2 = SenseOp(maps2, mask2)
+
+            L, R = L0, R0
+            for i in range(self.num_unrolls):
+                Lf, Rf = L, R  # frozen iterate for both solves (Jacobi)
+
+                def normal_pair(vL, vR, Lf=Lf, Rf=Rf):
+                    x2 = jnp.concatenate([comp(vL, Rf), comp(Lf, vR)],
+                                         axis=0)
+                    n2 = A2.normal(x2)
+                    nL = block_op(n2[0:1]) @ Rf
+                    nR = btranspose(block_op(n2[1:2])) @ Lf
+                    return nL, nR
+
+                L, R = paired_conjugate_gradient(
+                    normal_pair, L, R, ATy_b @ Rf,
+                    btranspose(ATy_b) @ Lf, self.num_cg_steps)
+                L = cnn_L(i, L)
+                R = cnn_R(i, R)
+            return comp(L, R)
+
         if mode in ("modslr-v1", "modslr-v2"):
             # v1: lambdas used directly, init (1.0, 2.0) (reference
             # dslr.py:447-449). v2: both init 5e-3 and the effective
@@ -214,7 +257,8 @@ class UnrolledLR(nn.Module):
         raise ValueError(f"Unknown DSLR mode: {self.mode}")
 
 
-_DSLR_MODES = ("dslr-pgd", "dslr-cg-v1", "dslr-cg-v2", "modslr-v1", "modslr-v2")
+_DSLR_MODES = ("dslr-pgd", "dslr-cg-v1", "dslr-cg-v2",
+               "dslr-cg-jacobi", "modslr-v1", "modslr-v2")
 
 
 def build_dslr_solver(cfg) -> UnrolledLR:

@@ -31,10 +31,11 @@ def test_bench_default_headline_emits_batched_point():
     """The driver runs bench.py with no env: the default must emit the
     batched TPU operating point with the bs=1 continuity fields riding
     the same line."""
-    rec = _run_bench({"BENCH_NO_BF16": "1"})
+    rec = _run_bench({"BENCH_NO_F32": "1"})
     assert rec["metric"] == "unrolled_resnet_train_throughput"
     assert rec["unit"] == "it/s"
     assert rec["batch"] == 16 and rec["remat"] is True
+    assert rec["trunk_dtype"] == "bfloat16"  # round-4 shipped default
     assert rec["value"] > 0
     assert rec["vs_baseline"] > 0
     assert rec["bs1_it_s"] > 0

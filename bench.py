@@ -16,6 +16,8 @@ BENCH_WORKLOAD selects the workload:
   recon      unrolled-ResNet inference frames/s  (north-star metric)
   recon_e2e  deployment-path frames/s incl. host prep + transfer
   recon_e2e_compact  same, over the packed acquired-lines wire format
+                     (BENCH_WIRE: flat [default] | dict | flat16)
+  recon_e2e_wire     all three wire encodings, interleaved in one process
   swin       unrolled-Swin train step            (configs/config_swin.yaml)
   gan        SwinGAN adversarial train step      (configs/config_swingan.yaml)
   dit        DiT DDPM_X diffusion train step     (configs/config_dit.yaml)
@@ -251,22 +253,23 @@ def bench_recon_e2e():
           baseline=BASELINE_RECON_FPS)
 
 
-def bench_recon_e2e_compact():
-    """Deployment-path throughput over the compact wire format: the host
-    packs only the ACQUIRED ky lines (+ maps) per slice — what a scanner
-    would actually send — and the device rebuilds the dense grid, derives
-    the mask, normalizes, inits, and reconstructs in one jitted call
-    (infer/compact.py). Same timing semantics as recon_e2e (host work
-    prefetch-overlapped, device-to-host sync at the end); the delta between
-    the two workloads is pure transfer economics."""
-    from concurrent.futures import ThreadPoolExecutor
+def _compact_e2e_variants(wanted):
+    """Build the compact e2e workload for the requested wire variants.
 
+    Returns (S, T, variants) where variants is a list of
+    (name, make_batch(raw_slice) -> device input, reconstructor, mb/slice).
+    Wire variants (infer/compact.py):
+      dict    7 arrays/slice (packing.pack'd example dict)
+      flat    ONE f32 buffer/slice (bit-lossless; kills per-array latency)
+      flat16  ONE f16 buffer/slice (half the bytes; ~1e-3 quantization)
+    """
     import numpy as np
 
     from dl_swin_gan_tpu.utils.headline import headline_cfg, headline_shape
     from dl_swin_gan_tpu.data.synthetic import make_cine_example
     from dl_swin_gan_tpu.infer.compact import (
-        CompactReconstructor, CompactTransform, pad_lines, wire_bytes)
+        CompactReconstructor, CompactTransform, FlatWire, pad_lines,
+        wire_bytes)
 
     cfg = headline_cfg()
     cfg.AUG_TRAIN.CROP_READOUT = 0
@@ -282,30 +285,76 @@ def bench_recon_e2e_compact():
     probe = [transform(*r) for r in raw]
     n_max = -(-max(p["line_idx"].shape[-1] for p in probe) // 4) * 4
     probe = [pad_lines(p, n_max) for p in probe]
-    mb_per_slice = wire_bytes(probe[0]) / 1e6
 
     batch0 = {k: np.asarray(v)[None] for k, v in probe[0].items()}
-    recon = CompactReconstructor(cfg, None, ny=Y)
-    recon.params = recon.init_params(batch0)
-    _ = recon(batch0)  # compile + warm
+    recon_dict = CompactReconstructor(cfg, None, ny=Y)
+    params = recon_dict.init_params(batch0)
+    recon_dict.params = params
 
-    def run_once():
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [pool.submit(
-                lambda r: {k: np.asarray(v)[None] for k, v in
-                           pad_lines(transform(*r), n_max).items()}, r)
-                for r in raw]
-            t0 = time.perf_counter()
-            out = [recon(f.result()) for f in futs]
-            _ = np.asarray(out[-1]).ravel()[0]
-            return time.perf_counter() - t0
+    variants = []
+    for name in wanted:
+        if name == "dict":
+            def mk(r, _t=transform, _n=n_max):
+                return {k: np.asarray(v)[None]
+                        for k, v in pad_lines(_t(*r), _n).items()}
+            variants.append((name, mk, recon_dict,
+                             wire_bytes(probe[0]) / 1e6))
+        else:
+            wire = FlatWire(probe[0],
+                            np.float16 if name == "flat16" else np.float32)
+            rc = CompactReconstructor(cfg, params, ny=Y, wire=wire)
 
-    best = min(run_once() for _ in
-               range(int(os.environ.get("BENCH_REPEATS", "3"))))
-    fps = S * T / best
-    _emit("unrolled_resnet_recon_e2e_compact_throughput", round(fps, 1),
-          "frames/s", baseline=BASELINE_RECON_FPS,
-          extra={"wire_mb_per_slice": round(mb_per_slice, 2)})
+            def mk(r, _t=transform, _n=n_max, _w=wire):
+                return _w.encode(pad_lines(_t(*r), _n))[None]
+            variants.append((name, mk, rc,
+                             wire.length * wire.dtype.itemsize / 1e6))
+    return S, T, raw, variants
+
+
+def _compact_run_once(raw, mk, recon):
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(mk, r) for r in raw]
+        t0 = time.perf_counter()
+        out = [recon(f.result()) for f in futs]
+        _ = np.asarray(out[-1]).ravel()[0]
+        return time.perf_counter() - t0
+
+
+def bench_recon_e2e_compact(probe_all=False):
+    """Deployment-path throughput over the packed acquired-lines wire
+    format: the host packs only the ACQUIRED ky lines (+ maps) per slice —
+    what a scanner would actually send — and the device rebuilds the dense
+    grid, derives the mask, normalizes, inits, and reconstructs in one
+    jitted call (infer/compact.py). Same timing semantics as recon_e2e
+    (host work prefetch-overlapped, device-to-host sync at the end); the
+    delta between the two workloads is pure transfer economics.
+
+    BENCH_WIRE picks the wire encoding (default flat); probe_all=True
+    (BENCH_WORKLOAD=recon_e2e_wire) measures all three variants
+    INTERLEAVED in this one process — the hazard-2 protocol — and emits
+    one line per variant."""
+    wanted = (["dict", "flat", "flat16"] if probe_all
+              else [os.environ.get("BENCH_WIRE", "flat")])
+    S, T, raw, variants = _compact_e2e_variants(wanted)
+
+    reps = int(os.environ.get("BENCH_REPEATS", "3"))
+    best = {name: float("inf") for name, *_ in variants}
+    for name, mk, rc, _mb in variants:  # compile + warm
+        _ = rc(mk(raw[0]))
+    for _ in range(reps):  # interleaved: one repeat of each, round-robin
+        for name, mk, rc, _mb in variants:
+            best[name] = min(best[name], _compact_run_once(raw, mk, rc))
+
+    for name, _mk, _rc, mb in variants:
+        suffix = "" if name == "flat" else f"_{name}"
+        _emit(f"unrolled_resnet_recon_e2e_compact{suffix}_throughput",
+              round(S * T / best[name], 1), "frames/s",
+              baseline=BASELINE_RECON_FPS,
+              extra={"wire_mb_per_slice": round(mb, 2)})
 
 
 def bench_trainer_workload(kind: str):
@@ -589,6 +638,8 @@ if __name__ == "__main__":
             bench_recon_e2e()
         elif wl == "recon_e2e_compact":
             bench_recon_e2e_compact()
+        elif wl == "recon_e2e_wire":
+            bench_recon_e2e_compact(probe_all=True)
         elif wl in ("swin", "dit", "latte", "dslr", "gan"):
             bench_trainer_workload(wl)
         else:

@@ -93,9 +93,77 @@ def unpack_lines(packed, idx, valid, ny: int):
     return jax.vmap(one)(packed, idx, valid)
 
 
-def wire_bytes(example: dict) -> int:
+def wire_bytes(example) -> int:
     """Bytes this example moves over the host->device link."""
+    if isinstance(example, np.ndarray):
+        return example.nbytes
     return sum(np.asarray(v).nbytes for v in example.values())
+
+
+class FlatWire:
+    """One-transfer wire codec for the compact path.
+
+    The dict wire format moves SEVEN host->device arrays per call (two
+    ``__re``/``__im`` pairs for k-space lines and maps, plus idx/valid);
+    on a high-latency relay the per-array round trips dominate the ~2.8 MB
+    payload (measured r4: the dict wire sustained only ~11 MB/s effective
+    on a ~40 MB/s link — 77.5 f/s). FlatWire concatenates every field into
+    ONE contiguous 1-D buffer per slice — one transfer — and slices /
+    reshapes it back inside the jitted reconstruction.
+
+    dtype float32 is bit-lossless (ky line indices are exact as floats up
+    to 2**24). dtype float16 additionally halves the payload: indices stay
+    exact up to 2048 (asserted at encode), validity is 0/1, and the
+    k-space / map samples quantize to ~1e-3 relative — quality-check
+    before deploying f16 (see tests/test_compact_transfer.py).
+    """
+
+    def __init__(self, template: dict, dtype=np.float32):
+        self.dtype = np.dtype(dtype)
+        k = np.asarray(template["kspace_lines"])
+        i = np.asarray(template["line_idx"])
+        v = np.asarray(template["line_valid"])
+        m = np.asarray(template["maps"])
+        # (name, stored shape, complex?) — re/im planes stack on axis 0
+        self._segs = [
+            ("kspace_lines", (2,) + k.shape, True),
+            ("line_idx", i.shape, False),
+            ("line_valid", v.shape, False),
+            ("maps", (2,) + m.shape, True),
+        ]
+        self._sizes = [int(np.prod(s)) for _, s, _ in self._segs]
+        self._offsets = np.cumsum([0] + self._sizes[:-1]).tolist()
+        self.length = int(sum(self._sizes))
+
+    def encode(self, example: dict) -> np.ndarray:
+        """Host side: example dict -> one 1-D buffer of self.dtype."""
+        idx = np.asarray(example["line_idx"])
+        if self.dtype.itemsize < 4 and idx.size and idx.max() > 2048:
+            raise ValueError("float16 wire: line indices exceed 2048, "
+                             "not exactly representable")
+        buf = np.empty(self.length, self.dtype)
+        for (name, shape, cplx), size, off in zip(
+                self._segs, self._sizes, self._offsets):
+            a = np.asarray(example[name])
+            flat = (np.stack([a.real, a.imag]) if cplx else a).ravel()
+            buf[off:off + size] = flat.astype(self.dtype)
+        return buf
+
+    def decode(self, buf) -> dict:
+        """Device side (inside jit): [B, length] -> the example dict."""
+        out = {}
+        B = buf.shape[0]
+        for (name, shape, cplx), size, off in zip(
+                self._segs, self._sizes, self._offsets):
+            seg = buf[:, off:off + size].reshape((B,) + shape)
+            seg = seg.astype(jnp.float32)
+            if cplx:
+                out[name] = jax.lax.complex(seg[:, 0], seg[:, 1])
+            elif name == "line_idx":
+                out[name] = jnp.round(seg).astype(jnp.int32)
+            else:
+                out[name] = seg
+        return out
 
 
 class CompactTransform:
@@ -147,16 +215,22 @@ class CompactReconstructor:
     ny: the dense ky grid size (static; packed batches carry only indices).
     Output matches `Reconstructor` fed by the dense transforms to float32
     round-off, de-normalized to input units.
+
+    wire: None for the dict wire (packing.pack'd example dicts), or a
+    `FlatWire` — then `__call__` takes a [B, wire.length] buffer and the
+    whole slice crosses the link in one transfer.
     """
 
-    def __init__(self, cfg, params, ny: int):
+    def __init__(self, cfg, params, ny: int, wire: "FlatWire" = None):
         self.cfg = cfg
         self.params = params
+        self.wire = wire
         self.model = build_solver(cfg, lambda: build_denoiser(cfg))
         slwin = cfg.MODEL.PARAMETERS.SLWIN_INIT
 
         def _recon(params, packed):
-            b = packing.unpack(packed)
+            b = (wire.decode(packed) if wire is not None
+                 else packing.unpack(packed))
             kspace = unpack_lines(b["kspace_lines"], b["line_idx"],
                                   b["line_valid"], ny)
             maps = b["maps"]
@@ -202,7 +276,11 @@ class CompactReconstructor:
     def _ny_from(self, b):
         return b["maps"].shape[-2]
 
-    def __call__(self, batch: dict) -> np.ndarray:
-        """batch: dict of stacked packed examples -> complex images."""
-        out = self._recon(self.params, packing.pack(batch))
+    def __call__(self, batch) -> np.ndarray:
+        """batch: dict of stacked examples (dict wire) or an encoded
+        [B, wire.length] buffer (flat wire) -> complex images."""
+        if self.wire is not None:
+            out = self._recon(self.params, np.asarray(batch))
+        else:
+            out = self._recon(self.params, packing.pack(batch))
         return packing.unpack_np(out).astype(np.complex64)

@@ -145,6 +145,55 @@ def test_compact_batched_mixed_line_counts():
                                    atol=2e-4 * np.abs(ref).max())
 
 
+def test_flat_wire_matches_dict_wire():
+    """FlatWire f32 is bit-identical to the dict wire; f16 is close.
+
+    The flat codec only re-encodes the transfer — same jitted recon —
+    so the f32 buffer must reproduce the dict-wire output exactly and
+    the f16 buffer to ~1e-3 relative (payload quantization).
+    """
+    from dl_swin_gan_tpu.infer.compact import FlatWire
+
+    cfg, kspace, maps, _ = masked_example()
+    compact_tf = CompactTransform(cfg, acceleration=3.0)
+    ex = compact_tf(kspace, maps)
+    batch_c = {k: np.asarray(v)[None] for k, v in ex.items()}
+
+    rec = CompactReconstructor(cfg, None, ny=Y)
+    params = rec.init_params(batch_c)
+    rec.params = params
+    out_dict = rec(batch_c)
+
+    w32 = FlatWire(ex, np.float32)
+    buf = w32.encode(ex)
+    assert buf.dtype == np.float32 and buf.ndim == 1
+    assert buf.nbytes == wire_bytes(buf)
+    out_f32 = CompactReconstructor(cfg, params, ny=Y, wire=w32)(buf[None])
+    np.testing.assert_array_equal(out_f32, out_dict)
+
+    w16 = FlatWire(ex, np.float16)
+    assert w16.length == w32.length
+    out_f16 = CompactReconstructor(cfg, params, ny=Y,
+                                   wire=w16)(w16.encode(ex)[None])
+    ref = np.abs(out_dict).max()
+    np.testing.assert_allclose(out_f16, out_dict, rtol=0, atol=5e-3 * ref)
+
+
+def test_flat_wire_f16_rejects_wide_grids():
+    """float16 wire refuses line indices above its exact-integer range."""
+    from dl_swin_gan_tpu.infer.compact import FlatWire
+
+    ex = dict(
+        kspace_lines=np.zeros((1, 1, 2, 4), np.complex64),
+        line_idx=np.array([[100, 3000]], np.int32),
+        line_valid=np.ones((1, 2), np.float32),
+        maps=np.zeros((1, 1, 4096, 4), np.complex64),
+    )
+    with pytest.raises(ValueError):
+        FlatWire(ex, np.float16).encode(ex)
+    FlatWire(ex, np.float32).encode(ex)  # f32 is fine
+
+
 def test_pack_lines_rejects_small_budget():
     cfg, kspace, maps, dense_tf = masked_example()
     from dl_swin_gan_tpu.ops import masks as ss

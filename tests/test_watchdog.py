@@ -20,9 +20,16 @@ def test_watchdog_term_kills_trainer_child():
                 f"open({pidfile!r},'w').write(str(os.getpid()))\n"
                 "time.sleep(120)\n")
         log = os.path.join(d, "log")
+        # Isolate the arbitration files: without this, a REAL bench lock
+        # held by a concurrent TPU session blocks wait_bench (the fake
+        # trainer never launches), and the watchdog would clobber the
+        # real /tmp pidfile with the fake trainer's pid.
+        env = {**os.environ,
+               "BENCH_LOCK": os.path.join(d, "bench.lock"),
+               "TRAINER_PIDFILE": os.path.join(d, "wd_trainer.pid")}
         wd = subprocess.Popen(
             ["bash", "scripts/train_watchdog.sh", fake, "unused.yaml", log, "1"],
-            cwd="/root/repo")
+            cwd="/root/repo", env=env)
         for _ in range(100):
             if os.path.exists(pidfile) and open(pidfile).read().strip():
                 break

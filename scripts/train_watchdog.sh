@@ -35,7 +35,10 @@ wait_bench() {
 # child down too — an orphaned trainer starves everything that runs next on
 # the shared TPU (and `timeout` only signals the watchdog process itself).
 child=""
-trap '[ -n "$child" ] && kill "$child" 2>/dev/null; exit 143' TERM INT
+# SIGCONT after the kill: a trainer SIGSTOPped by bench arbitration can't
+# take the TERM until resumed — without it the child lingers as a stopped
+# orphan holding the TPU until the bench exits.
+trap '[ -n "$child" ] && { kill "$child" 2>/dev/null; kill -CONT "$child" 2>/dev/null; }; exit 143' TERM INT
 for i in $(seq 1 "$n"); do
   wait_bench
   PYTHONPATH=/root/repo:/root/.axon_site python "$script" \

@@ -150,6 +150,17 @@ def make_defaults() -> CN:
     # long runs bank progress on flaky workers without paying the val-step
     # compile (observed crash trigger on the shared pool's DSLR runs).
     _C.EVAL.CKPT_EVERY_N_STEPS = 0
+    # Diffusion-only: every N validation-eligible epochs (0 = off), run the
+    # conditional hard-DC sampler on the first val batch (raw AND EMA
+    # params) and log 'Validate recon SSIM{, (EMA)}'. Measured round 4:
+    # sampling quality peaks ~7k steps and then DEGRADES while validate
+    # denoising MSE improves monotonically (runs/latteq4) — the denoising
+    # loss is the wrong model-selection signal for recon.
+    _C.EVAL.RECON_SSIM_EVERY_N_EPOCHS = 0
+    # Checkpoint-retention monitor override ('' = trainer default, e.g.
+    # 'Validate MSE'). Set to 'Validate recon SSIM' (mode inferred: max for
+    # SSIM-like, else min) to retain the best-SAMPLING checkpoint.
+    _C.EVAL.MONITOR = ""
 
     _C.LOGGER = CN()
     _C.LOGGER.LOG_METRICS_EVERY_N_STEPS = 50

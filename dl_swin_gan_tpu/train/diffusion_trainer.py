@@ -307,8 +307,10 @@ class DiffusionTrainer:
         self._build_steps()
 
         writer = MetricsWriter(cfg.OUTPUT_DIR)
-        ckpt = CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "checkpoints"),
-                                 monitor="Validate MSE")
+        monitor = cfg.EVAL.MONITOR or "Validate MSE"
+        ckpt = CheckpointManager(
+            os.path.join(cfg.OUTPUT_DIR, "checkpoints"), monitor=monitor,
+            mode=("max" if "ssim" in monitor.lower() else "min"))
         start_epoch = 0
         if resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)
@@ -361,7 +363,10 @@ class DiffusionTrainer:
                     ckpt.save(step, state)
 
             if val_loader and (epoch + 1) % cfg.EVAL.RUN_EVERY_N_EPOCHS == 0:
-                val = self.validate(state, val_loader, writer)
+                rm = cfg.EVAL.RECON_SSIM_EVERY_N_EPOCHS
+                val = self.validate(state, val_loader, writer,
+                                    recon_metric=bool(rm)
+                                    and (epoch + 1) % rm == 0)
                 ckpt.save(int(state.step), state, metrics=val)
 
         # final state always banked (no-op when the step is already saved)
@@ -371,19 +376,54 @@ class DiffusionTrainer:
         return state
 
     def validate(self, state: TrainState, val_loader,
-                 writer: Optional[MetricsWriter] = None) -> Dict[str, float]:
+                 writer: Optional[MetricsWriter] = None,
+                 recon_metric: bool = False) -> Dict[str, float]:
         if self._train_step is None:
             self._build_steps()
         base_key = jax.random.PRNGKey(self.cfg.SEED + 23)
         losses = []
+        first = None
         for i, batch in enumerate(val_loader):
             # drop_last=False: the epoch's last batch can be ragged
             packed = shard_batch_or_replicate(
                 packing.pack(self.prepare_batch(batch)), self.mesh)
+            if i == 0:
+                first = (self.prepare_batch(batch), packed)
             losses.append(float(self._val_loss_step(
                 state.params, packed, jax.random.fold_in(base_key, i))))
         out = {"Validate MSE": float(np.mean(losses))}
+        if recon_metric and first is not None:
+            out.update(self._recon_ssim(state, *first))
         if writer is not None:
             writer.scalars(int(state.step), out)
         logger.info("validate step %d: %s", int(state.step), out)
+        return out
+
+    def _recon_ssim(self, state: TrainState, batch: dict,
+                    packed) -> Dict[str, float]:
+        """Sampling-quality monitor: conditional hard-DC reconstruction of
+        one val batch from raw AND EMA params, scored by SSIM against the
+        batch target. Exists because the denoising loss is NOT a proxy for
+        sampling quality (measured round 4: Validate MSE improved 0.046 →
+        0.017 monotonically while 12× recon SSIM peaked ~7k steps then fell
+        0.845 → 0.783); pair with EVAL.MONITOR='Validate recon SSIM' to
+        retain the best-sampling checkpoint. First call compiles the
+        sampling graph at the val batch shape (once per fit)."""
+        from dl_swin_gan_tpu.infer.evaluate import ssim2d
+
+        key = jax.random.PRNGKey(self.cfg.SEED + 99)  # fixed: comparable
+        # target/sampler layout is [B, E, T, Y, X] complex; score emap 0
+        # phase-by-phase, like the quality protocol (infer/evaluate.py)
+        ref = np.abs(np.asarray(batch["target"]))[:, 0]  # [B, T, Y, X]
+        out = {}
+        for tag, params in (("", state.params), (" (EMA)", state.ema_params)):
+            gen = packing.unpack_np(self._sample_fn(params, packed, key))
+            gen = gen["pred"] if isinstance(gen, dict) else gen
+            mag = np.abs(np.asarray(gen))[:, 0]
+            vals = []
+            for b in range(min(ref.shape[0], mag.shape[0])):
+                rng = ref[b].max() - ref[b].min()
+                vals.extend(ssim2d(ref[b, t], mag[b, t], data_range=rng)
+                            for t in range(ref.shape[1]))
+            out[f"Validate recon SSIM{tag}"] = float(np.mean(vals))
         return out

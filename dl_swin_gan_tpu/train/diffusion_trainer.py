@@ -385,10 +385,14 @@ class DiffusionTrainer:
         first = None
         for i, batch in enumerate(val_loader):
             # drop_last=False: the epoch's last batch can be ragged
+            prepared = self.prepare_batch(batch)
             packed = shard_batch_or_replicate(
-                packing.pack(self.prepare_batch(batch)), self.mesh)
+                packing.pack(prepared), self.mesh)
             if i == 0:
-                first = (self.prepare_batch(batch), packed)
+                # reuse the SAME prepared batch: a second prepare_batch
+                # would draw another DDPM_X submask and shift the host RNG
+                # stream — the monitor must not change the trajectory
+                first = (prepared, packed)
             losses.append(float(self._val_loss_step(
                 state.params, packed, jax.random.fold_in(base_key, i))))
         out = {"Validate MSE": float(np.mean(losses))}

@@ -354,7 +354,7 @@ def bench_recon_e2e_compact(probe_all=False):
         _emit(f"unrolled_resnet_recon_e2e_compact{suffix}_throughput",
               round(S * T / best[name], 1), "frames/s",
               baseline=BASELINE_RECON_FPS,
-              extra={"wire_mb_per_slice": round(mb, 2)})
+              extra={"wire_mb_per_slice": round(mb, 4)})
 
 
 def bench_trainer_workload(kind: str):

@@ -44,3 +44,29 @@ def test_bench_default_headline_emits_batched_point():
 # The explicit BENCH_BATCH path shares all of its code with the default
 # path's _measure_headline calls and is exercised by the round campaign
 # scripts; a second ~2-min subprocess smoke is not worth the suite time.
+
+
+def test_bench_wire_probe_emits_all_three_encodings():
+    """BENCH_WORKLOAD=recon_e2e_wire must emit one line per wire encoding
+    with the round-4 metric-name contract: the flat (default) wire owns
+    the bare compact metric name, dict/flat16 get suffixes, and flat16
+    moves half the bytes."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_SHAPE="8,16,8,2",
+               BENCH_SLICES="2", BENCH_ITERS="1", BENCH_REPEATS="1",
+               BENCH_NO_ARBITRATION="1", BENCH_WORKLOAD="recon_e2e_wire")
+    out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                         capture_output=True, text=True, env=env,
+                         timeout=900, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = {json.loads(l)["metric"]: json.loads(l)
+            for l in out.stdout.strip().splitlines() if l.startswith("{")}
+    base = "unrolled_resnet_recon_e2e_compact"
+    assert set(recs) == {f"{base}_dict_throughput", f"{base}_throughput",
+                         f"{base}_flat16_throughput"}
+    for r in recs.values():
+        assert r["value"] > 0 and r["wire_mb_per_slice"] > 0
+    assert (recs[f"{base}_flat16_throughput"]["wire_mb_per_slice"]
+            < 0.6 * recs[f"{base}_throughput"]["wire_mb_per_slice"])

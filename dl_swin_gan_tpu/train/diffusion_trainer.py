@@ -310,7 +310,8 @@ class DiffusionTrainer:
         monitor = cfg.EVAL.MONITOR or "Validate MSE"
         ckpt = CheckpointManager(
             os.path.join(cfg.OUTPUT_DIR, "checkpoints"), monitor=monitor,
-            mode=("max" if "ssim" in monitor.lower() else "min"))
+            mode=("max" if ("ssim" in monitor.lower()
+                            or "psnr" in monitor.lower()) else "min"))
         start_epoch = 0
         if resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)

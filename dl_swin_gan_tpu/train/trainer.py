@@ -280,8 +280,11 @@ class Trainer:
         self._build_steps()
 
         writer = MetricsWriter(cfg.OUTPUT_DIR)
-        ckpt = CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "checkpoints"),
-                                 monitor=f"Validate/{self.loss_name}")
+        monitor = cfg.EVAL.MONITOR or f"Validate/{self.loss_name}"
+        ckpt = CheckpointManager(
+            os.path.join(cfg.OUTPUT_DIR, "checkpoints"), monitor=monitor,
+            mode=("max" if ("ssim" in monitor.lower()
+                            or "psnr" in monitor.lower()) else "min"))
         start_epoch = 0
         if resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)

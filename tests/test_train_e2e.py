@@ -69,6 +69,28 @@ def test_fit_checkpoints_and_resumes(tiny_cfg):
     assert int(state3.step) == 6
 
 
+def test_trainer_monitor_override_psnr(tiny_cfg, tmp_path):
+    """EVAL.MONITOR on the base Trainer: a PSNR-like key flips retention to
+    mode max and the monitored checkpoint is written (the Validate/
+    complex_psnr key comes from compute_metrics)."""
+    import json
+
+    from dl_swin_gan_tpu.train import Trainer
+
+    cfg = tiny_cfg.clone()
+    cfg.defrost()
+    cfg.EVAL.MONITOR = "Validate/complex_psnr"
+    cfg.OUTPUT_DIR = str(tmp_path / "mon_out")
+    cfg.freeze()
+    Trainer(cfg).fit(max_epochs=1)
+
+    ckpt_dir = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+    recs = [json.loads(l) for l in
+            open(os.path.join(cfg.OUTPUT_DIR, "metrics.jsonl"))]
+    assert any("Validate/complex_psnr" in r for r in recs)
+
+
 def test_reconstruct_h5_roundtrip(tiny_cfg, tmp_path):
     from dl_swin_gan_tpu.data import cfl
     from dl_swin_gan_tpu.infer import load_checkpoint_params, reconstruct_h5_file

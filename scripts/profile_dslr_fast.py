@@ -66,7 +66,10 @@ def main():
         trainer, state, packed = build(meta, n_cg)
         new_state, metrics = trainer._train_step(state, packed)
         np.asarray(jax.tree.leaves(new_state.params)[0]).ravel()
-        built[label] = (trainer, state, packed)
+        # keep the warmup OUTPUT: _train_step donates its input state, so
+        # reusing `state` after this call is an INVALID_ARGUMENT on TPU
+        # (CPU ignores donation, which hid this until the first real run)
+        built[label] = (trainer, new_state, packed)
         print(f"{label}: compiled, first-step loss "
               f"{ {k: round(float(v), 5) for k, v in metrics.items()} }")
 
@@ -80,6 +83,7 @@ def main():
             np.asarray(jax.tree.leaves(st.params)[0]).ravel()
             best[label] = min(best[label],
                               (time.perf_counter() - t0) / iters)
+            built[label] = (trainer, st, packed)  # chain, never reuse donated
 
     base = best["cg-v1/10"]
     for label in built:
@@ -88,4 +92,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from bench import _tpu_arbitration
+
+    # pause any live campaign trainer for the measurement (hazard 4)
+    with _tpu_arbitration():
+        main()

@@ -75,12 +75,15 @@ done
 # ---------------- Stage B: DiT EMA crossover (deadline-bounded) ----------------
 # Reserve: first diffusion eval pays the sampling-loop compile (relay,
 # worst case ~10 min); later evals reuse the cache. 12x raw + EMA are
-# non-negotiable; 8x/16x run only if time remains.
-EVAL_S=1300
+# non-negotiable; 8x/16x run only if time remains. When a pool outage has
+# eaten most of the window, training still gets a 300s floor (the DiT row
+# needs SOME checkpoint; a ~5-7k-step run scored 0.912 on the old
+# protocol, runs/ditq2) as long as at least one eval can follow.
+EVAL_S=1100
 if [ ! -f runs/ditema/recon_r4/eval_12accel.csv ]; then
-  wait_pool || exit 0
-  train scripts/train_DiT.py configs/quality/dit_ema.yaml runs/ditema.log \
-      $(( $(left) - EVAL_S - 120 ))
+  wait_pool 420 || exit 0
+  T=$(( $(left) - EVAL_S - 120 )); [ "$T" -lt 300 ] && T=300
+  train scripts/train_DiT.py configs/quality/dit_ema.yaml runs/ditema.log "$T"
   commit "DiT EMA-crossover training: raw-vs-EMA SSIM monitor curve" \
       runs/ditema/metrics.jsonl runs/ditema.log
   evalrow configs/quality/dit_ema.yaml runs/ditema/checkpoints diffusion \

@@ -109,12 +109,18 @@ def psnr(ref: np.ndarray, img: np.ndarray) -> float:
 
 
 def evaluate_volumes(ref: np.ndarray, recon: np.ndarray,
-                     roi: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+                     roi: Optional[np.ndarray] = None,
+                     return_maps: bool = False) -> Dict[str, np.ndarray]:
     """Per-(slice, phase) SSIM/RMSE/PSNR on magnitude images.
 
     ref/recon: [slices, E, T, Y, X] complex (first emap evaluated, like the
     reference takes emap channel 0/1 — eval.py:23-37). Optional ROI mask
     [Y, X] restricts the comparison (eval_recon.py ROI masking).
+
+    return_maps additionally stores per-pixel metric maps the way the
+    reference's eval.py does (`ssim_image` = full SSIM map, eval.py:31;
+    `rmse_image` = per-pixel |ref-recon|, eval.py:19-21), each [S, T, Y, X]
+    — the inputs of eval_recon.py's ROI means (eval_recon.py:62-70).
     """
     mref = np.abs(ref[:, 0])    # [S, T, Y, X]
     mrec = np.abs(recon[:, 0])
@@ -123,13 +129,31 @@ def evaluate_volumes(ref: np.ndarray, recon: np.ndarray,
         mrec = mrec * roi
     S, T = mref.shape[:2]
     out = {k: np.zeros((S, T)) for k in ("ssim", "rmse", "psnr")}
+    if return_maps:
+        out["ssim_image"] = np.zeros(mref.shape, np.float32)
+        out["rmse_image"] = np.abs(mref - mrec).astype(np.float32)
     for s in range(S):
         rng = mref[s].max() - mref[s].min()
         for t in range(T):
-            out["ssim"][s, t] = ssim2d(mref[s, t], mrec[s, t], data_range=rng)
+            if return_maps:
+                val, smap = ssim2d(mref[s, t], mrec[s, t], data_range=rng,
+                                   full=True)
+                out["ssim"][s, t] = val
+                out["ssim_image"][s, t] = smap
+            else:
+                out["ssim"][s, t] = ssim2d(mref[s, t], mrec[s, t],
+                                           data_range=rng)
             out["rmse"][s, t] = rmse(mref[s, t], mrec[s, t])
             out["psnr"][s, t] = psnr(mref[s, t], mrec[s, t])
     return out
+
+
+def mean_roi(metric_map: np.ndarray, roi: np.ndarray) -> float:
+    """Mean of a per-pixel metric map inside an ROI mask — twin of the
+    reference's `mean_roi` (eval_recon.py:62-70): boolean-select the masked
+    pixels, then one global mean. metric_map: [..., Y, X]; roi: [Y, X]."""
+    sel = np.broadcast_to(np.asarray(roi) > 0.5, metric_map.shape)
+    return float(np.asarray(metric_map)[sel].mean())
 
 
 def evaluate_cfl_pair(recon_path: str, ref_path: str) -> Dict[str, float]:

@@ -20,6 +20,10 @@ def main(argv=None):
     parser.add_argument("--recon-directory", required=True)
     parser.add_argument("--acceleration", type=float, required=True)
     parser.add_argument("--output", default=None)
+    parser.add_argument("--no-maps", action="store_true",
+                        help="omit per-pixel ssim_image/rmse_image maps "
+                             "(reference eval.py always stores them; they "
+                             "feed eval_recon.py's ROI-mean columns)")
     args = parser.parse_args(argv)
 
     from dl_swin_gan_tpu.data import cfl
@@ -41,7 +45,8 @@ def main(argv=None):
         ref = os.path.join(args.recon_directory, f"{name}_1accel.im")
         if not os.path.exists(ref + ".hdr"):
             continue
-        results[name] = evaluate_volumes(load(ref), load(base))
+        results[name] = evaluate_volumes(load(ref), load(base),
+                                         return_maps=not args.no_maps)
 
     out = args.output or os.path.join(
         args.recon_directory, f"eval_{fmt(args.acceleration)}accel.pkl")

@@ -39,7 +39,9 @@ wait_pool() {
 train() {  # train <script> <cfg> <log> <budget-s> [overrides...]
   local script=$1 cfg=$2 tlog=$3 budget=$4; shift 4
   local t=$budget
-  [ "$t" -gt 300 ] || { log "no window for $tlog"; return 1; }
+  # -ge, not -gt: the caller floors a collapsed window to exactly 300s and
+  # that floor must still train (ADVICE r4: -gt made the floor dead code)
+  [ "$t" -ge 300 ] || { log "no window for $tlog"; return 1; }
   log "train $script $cfg for up to ${t}s ($*)"
   timeout "$t" bash scripts/train_watchdog.sh "$script" "$cfg" "$tlog" 30 "$@"
   log "train window over for $tlog (rc=$?)"
@@ -50,7 +52,10 @@ evalrow() {  # evalrow <cfg> <ckpt> <kind> <out> <accel> [extra...]
   local cfg=$1 ckpt=$2 kind=$3 out=$4 accel=$5; shift 5
   [ -f "$out/eval_${accel}accel.csv" ] && { log "skip eval $out@$accel (done)"; return 0; }
   wait_pool 120 || return 1
-  local t=$(( $(left) - 60 )); [ "$t" -gt 60 ] || t=60
+  # don't launch an eval that can't finish before the deadline (ADVICE r4:
+  # the old 60s clamp allowed a post-deadline launch)
+  [ "$(left)" -gt 120 ] || { log "no eval window for $out@$accel"; return 1; }
+  local t=$(( $(left) - 60 ))
   local ck=(); [ "$ckpt" != "-" ] && ck=(--ckpt "$ckpt")
   log "eval $kind $out @ ${accel}x"
   timeout "$t" python scripts/quality_row.py --config-file "$cfg" \
@@ -62,15 +67,20 @@ evalrow() {  # evalrow <cfg> <ckpt> <kind> <out> <accel> [extra...]
 }
 
 commit() {  # commit <msg> <paths...>
-  local msg=$1; shift
-  git add -f "$@" 2>/dev/null
+  # one git add per path: a single multi-path add fatals on the first
+  # missing path and silently drops the rest (ADVICE r4)
+  local msg=$1 p; shift
+  for p in "$@"; do [ -e "$p" ] && git add -f "$p" 2>/dev/null; done
   git commit -q -m "$msg" 2>/dev/null && log "committed: $msg" || true
 }
 
-# dataset must exist (disk wipe): make_quality_set.sh is idempotent/seeded
-while [ ! -f runs/quality/data/test/synthetic_005.h5 ]; do
-  log "waiting for quality dataset"; sleep 10
-done
+# dataset must exist (disk wipe): make_quality_set.sh is idempotent/seeded —
+# run it directly instead of spinning forever waiting for someone else to
+# (ADVICE r4)
+if [ ! -f runs/quality/data/test/synthetic_005.h5 ]; then
+  log "regenerating quality dataset"
+  bash datasets/make_quality_set.sh >> "$LOG" 2>&1
+fi
 
 # ---------------- Stage B: DiT EMA crossover (deadline-bounded) ----------------
 # Reserve: first diffusion eval pays the sampling-loop compile (relay,

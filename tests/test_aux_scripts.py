@@ -73,6 +73,47 @@ def test_eval_recon_script(recon_dir, tmp_path):
     assert os.path.exists(out)
 
 
+def test_eval_recon_roi_columns(recon_dir, tmp_path, capsys):
+    """ROI-mean comparison columns (reference eval_recon.py:62-66,189-193):
+    with an `roi` mask installed into the pickles (copy_mask.py route) and
+    the per-pixel maps from eval.py, eval_recon reports per-exam
+    `<label>_roi` means — verified against a hand-computed mean over the
+    masked pixels of the stored ssim_image."""
+    import eval as eval_script
+    import eval_recon
+
+    eval_script.main(["--recon-directory", str(recon_dir),
+                      "--acceleration", "12"])
+    pkl = str(recon_dir / "eval_12accel.pkl")
+    with open(pkl, "rb") as f:
+        res = pickle.load(f)
+    assert "ssim_image" in res["exam"] and "rmse_image" in res["exam"]
+
+    y, x = res["exam"]["ssim_image"].shape[-2:]
+    roi = np.zeros((y, x), bool)
+    roi[y // 4: y // 2, x // 4: x // 2] = True
+    res["exam"]["roi"] = roi
+    pkl_roi = str(tmp_path / "roi.pkl")
+    with open(pkl_roi, "wb") as f:
+        pickle.dump(res, f)
+
+    capsys.readouterr()  # drop eval.py's own summary lines
+    eval_recon.main(["--pickle-a", pkl_roi, "--pickle-b", pkl_roi,
+                     "--label-a", "a", "--label-b", "b"])
+    printed = capsys.readouterr().out
+    assert "a_roi" in printed and "b_roi" in printed and "delta_roi" in printed
+
+    expect = float(res["exam"]["ssim_image"][..., roi].mean())
+    from dl_swin_gan_tpu.infer.evaluate import mean_roi
+    assert abs(mean_roi(res["exam"]["ssim_image"], roi) - expect) < 1e-12
+    # the printed a_roi column carries that value
+    import re
+    row = next(l for l in printed.splitlines()
+               if l.startswith("exam") and re.search(r"\d", l))
+    vals = [float(v) for v in re.findall(r"-?\d+\.\d+", row)]
+    assert any(abs(v - expect) < 5e-4 for v in vals)
+
+
 def test_copy_mask_roundtrip(recon_dir, tmp_path):
     import copy_mask
 

@@ -57,6 +57,14 @@ def make_defaults() -> CN:
     # swin parameters (reference defaults.py:68-70)
     _C.MODEL.PARAMETERS.WINDOW_SIZE = (4, 4)
     _C.MODEL.PARAMETERS.NUM_HEAD = 4
+    # 2D Swin checkpoint to inflate into the Swin trunk at init (the
+    # reference backbone's pretrained/pretrained2d path,
+    # video_swin_transformer_mri_downsample.py:651-700; never set by its
+    # configs — exposed here). PRETRAINED_STAGE picks which checkpoint
+    # stage (`layers.<i>`) seeds our single hardcoded depth-6 stage
+    # (swin3D.py:315); -1 = identity mapping.
+    _C.MODEL.PARAMETERS.PRETRAINED = ""
+    _C.MODEL.PARAMETERS.PRETRAINED_STAGE = -1
     _C.MODEL.PARAMETERS.PATCH_SIZE = (2, 4, 4)   # DiT/Latte patchify
 
     # conv-block parameters

@@ -183,6 +183,7 @@ class Trainer:
         shardings = fsdp_shardings(abstract, self.mesh)
         init_jit = jax.jit(_init, out_shardings=shardings)
         state = init_jit(shard_batch(packed, self.mesh))
+        state = self._maybe_import_pretrained(state, shardings)
         self._state_shardings = shardings
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree.leaves(abstract.params))
@@ -190,6 +191,42 @@ class Trainer:
                     self.cfg.MODEL.MODEL_TYPE, n_params / 1e6,
                     dict(self.mesh.shape))
         return state
+
+    def _maybe_import_pretrained(self, state: "TrainState", shardings):
+        """Seed the Swin trunks from a 2D Swin checkpoint when
+        MODEL.PARAMETERS.PRETRAINED is set (reference
+        video_swin_transformer_mri_downsample.py:651-700 inflate path).
+        One-time host round trip at init; EMA restarts from the imported
+        params."""
+        path = getattr(self.cfg.MODEL.PARAMETERS, "PRETRAINED", "")
+        if not path:
+            return state
+        if self.cfg.MODEL.MODEL_TYPE != "SWIN":
+            logger.warning("PRETRAINED set but MODEL_TYPE=%s is not SWIN; "
+                           "ignoring", self.cfg.MODEL.MODEL_TYPE)
+            return state
+        from dl_swin_gan_tpu.models.swin_import import import_swin2d_checkpoint
+
+        params = jax.tree.map(np.asarray, jax.device_get(state.params))
+        stage = self.cfg.MODEL.PARAMETERS.PRETRAINED_STAGE
+        total = {"loaded": 0, "skipped": 0, "missing": 0}
+        for net in [k for k in params if k.startswith("SwinNet3D_")]:
+            for trunk in [k for k in params[net]
+                          if k.startswith("SwinTransformer3D_")]:
+                sub = params[net][trunk]
+                patch_t = sub["patch_embed"]["kernel"].shape[0]
+                # the wrapper hardcodes the inner window (swin3D.py:315)
+                report = import_swin2d_checkpoint(
+                    sub, path, window_size=(7, 8, 8), patch_t=patch_t,
+                    stage_map=None if stage < 0 else {0: stage})
+                for k in total:
+                    total[k] += len(report[k])
+        logger.info("pretrained Swin import (%s): %s", path, total)
+        params = jax.device_put(params, shardings.params)
+        ema = (jax.tree.map(lambda p: p, params) if self.use_ema
+               else state.ema_params)
+        return TrainState(step=state.step, params=params,
+                          opt_state=state.opt_state, ema_params=ema)
 
     def _build_steps(self):
         base_key = jax.random.PRNGKey(self.cfg.SEED + 17)

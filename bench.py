@@ -18,6 +18,8 @@ BENCH_WORKLOAD selects the workload:
   recon_e2e_compact  same, over the packed acquired-lines wire format
                      (BENCH_WIRE: flat [default] | dict | flat16)
   recon_e2e_wire     all three wire encodings, interleaved in one process
+  mesh       mesh-scaling sweep over (data, fsdp, model) factorizations
+             of the visible devices (BENCH_MESH / BENCH_MESH_WORKLOAD)
   swin       unrolled-Swin train step            (configs/config_swin.yaml)
   gan        SwinGAN adversarial train step      (configs/config_swingan.yaml)
   dit        DiT DDPM_X diffusion train step     (configs/config_dit.yaml)
@@ -462,6 +464,153 @@ def bench_trainer_workload(kind: str):
           baseline=BASELINE_IT_S, flops=flops, dt_per_it=dt, extra=extra)
 
 
+def bench_mesh():
+    """Mesh-scaling sweep (BENCH_WORKLOAD=mesh): the REAL train step across
+    (data, fsdp, model) factorizations of the visible devices, every point
+    built and timed interleaved in ONE process, with per-point throughput
+    and scaling efficiency vs the first point.
+
+    env:
+      BENCH_MESH          explicit points "8x1x1,4x2x1,2x2x2" (DxFxM);
+                          default sweeps data-only, data*fsdp and — for the
+                          transformer workloads whose trunks match the TP
+                          rules — a model-axis point
+      BENCH_MESH_WORKLOAD res (default) | swin | dit | latte | gan | dslr
+      BENCH_BATCH         GLOBAL batch (default n_devices; must be
+                          divisible by each point's data extent — points
+                          that don't divide are skipped with a note)
+
+    On CPU (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
+    this is the smoke/dryrun; the SAME command on a real multi-chip TPU
+    measures ICI scaling immediately (round-4 verdict #10). The driver's
+    dryrun_multichip proves the shardings compile+execute; this measures
+    what they're worth.
+    """
+    import jax
+    import numpy as np
+
+    from dl_swin_gan_tpu.config import load_cfg
+    from dl_swin_gan_tpu.data.preprocess import CinePreprocess
+    from dl_swin_gan_tpu.data.synthetic import make_cine_example
+    from dl_swin_gan_tpu.parallel.mesh import shard_batch
+    from dl_swin_gan_tpu.train import packing
+
+    kind = os.environ.get("BENCH_MESH_WORKLOAD", "res")
+    yaml = {"res": "configs/basic/example.yaml",
+            "swin": "configs/config_swin.yaml",
+            "dit": "configs/config_dit.yaml",
+            "latte": "configs/config_latte.yaml",
+            "dslr": "configs/config_dslr.yaml",
+            "gan": "configs/config_swingan.yaml"}[kind]
+    yaml = os.environ.get("BENCH_CONFIG", yaml)
+
+    n = len(jax.devices())
+    if os.environ.get("BENCH_MESH"):
+        points = [tuple(int(v) for v in s.split("x"))
+                  for s in os.environ["BENCH_MESH"].split(",")]
+    else:
+        points = [(n, 1, 1)]
+        if n % 2 == 0 and n > 1:
+            points.append((n // 2, 2, 1))
+        if n >= 4:
+            points.append((1, n, 1))
+        if kind in ("swin", "dit", "latte", "gan") and n % 2 == 0 and n > 1:
+            points.append((n // 2, 1, 2))  # megatron TP over 'model'
+            if n % 4 == 0:
+                points.append((n // 4, 2, 2))
+
+    B = int(os.environ.get("BENCH_BATCH", str(n)))
+    T, Y, X, C, E = 20, 180, 64, 8, 2
+    if os.environ.get("BENCH_SHAPE"):
+        T, Y, X, C = (int(v) for v in os.environ["BENCH_SHAPE"].split(","))
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    base_cfg = load_cfg(os.path.join(root, yaml), freeze=False)
+    base_cfg.MODEL.STRATEGY = "none"
+    base_cfg.OUTPUT_DIR = "/tmp/bench"
+    if os.environ.get("BENCH_DTYPE"):
+        base_cfg.MODEL.PARAMETERS.CONV_BLOCK.DTYPE = os.environ["BENCH_DTYPE"]
+
+    pre = CinePreprocess(base_cfg, use_seed=True, lr_decom=(kind == "dslr"))
+    exs = []
+    for b in range(B):
+        k, m, t = make_cine_example(T=T, Y=Y, X=X, C=C, E=E, seed=b)
+        exs.append(pre(k, m, t, f"mesh_{b}"))
+    batch = {key: np.stack([e[key] for e in exs]) for key in exs[0]}
+
+    def build(d, f, m):
+        cfg = base_cfg.clone()
+        cfg.PARALLEL.DATA_AXIS = d
+        cfg.PARALLEL.FSDP_AXIS = f
+        cfg.PARALLEL.MODEL_AXIS = m
+        cfg.freeze()
+        if kind in ("dit", "latte"):
+            from dl_swin_gan_tpu.train.diffusion_trainer import DiffusionTrainer
+            trainer = DiffusionTrainer(cfg)
+            b = trainer.prepare_batch(dict(batch))
+        elif kind == "dslr":
+            from dl_swin_gan_tpu.train.dslr_trainer import DSLRTrainer
+            trainer = DSLRTrainer(cfg)
+            b = batch
+        elif kind == "gan":
+            from dl_swin_gan_tpu.train.gan_trainer import GANTrainer
+            trainer = GANTrainer(cfg)
+            b = batch
+        else:
+            from dl_swin_gan_tpu.train.trainer import Trainer
+            trainer = Trainer(cfg)
+            b = batch
+        state = trainer.init_state(b)
+        trainer._build_steps()
+        packed = jax.tree.map(jax.device_put,
+                              shard_batch(packing.pack(b), trainer.mesh))
+        return trainer, state, packed
+
+    def sync(metrics):
+        np.asarray(jax.tree.leaves(metrics)[0]).ravel()
+
+    built = {}
+    for (d, f, m) in points:
+        if d * f * m > n or B % d:
+            print(json.dumps({"metric": f"mesh_{kind}_{d}x{f}x{m}",
+                              "skipped": ("exceeds devices" if d * f * m > n
+                                          else f"batch {B} % data {d} != 0")}))
+            continue
+        try:
+            trainer, state, packed = build(d, f, m)
+            state, metrics = trainer._train_step(state, packed)  # compile
+            sync(metrics)
+            built[(d, f, m)] = (trainer, state, packed)
+        except Exception as e:  # e.g. model-axis with no TP-matchable params
+            print(json.dumps({"metric": f"mesh_{kind}_{d}x{f}x{m}",
+                              "skipped": f"{type(e).__name__}: {e}"[:200]}))
+
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "4"))
+    best = {p: float("inf") for p in built}
+    for _ in range(repeats):
+        for p, (trainer, state, packed) in built.items():
+            t0 = time.perf_counter()
+            metrics = None
+            for _ in range(iters):
+                state, metrics = trainer._train_step(state, packed)
+            sync(metrics)
+            best[p] = min(best[p], (time.perf_counter() - t0) / iters)
+            built[p] = (trainer, state, packed)
+
+    base = None
+    for p in points:
+        if p not in best:
+            continue
+        d, f, m = p
+        sps = B / best[p]
+        base = base if base is not None else sps
+        _emit(f"mesh_{kind}_train_throughput", round(sps, 3), "samples/s",
+              extra={"mesh": f"{d}x{f}x{m}", "global_batch": B,
+                     "devices": n, "ms_per_step": round(best[p] * 1e3, 2),
+                     "vs_first_point": round(sps / base, 3)})
+
+
 def _measure_headline(B, remat, dtype=None):
     """One headline measurement: returns (it_s, flops_per_step, dt_per_it)."""
     import jax
@@ -640,6 +789,8 @@ if __name__ == "__main__":
             bench_recon_e2e_compact()
         elif wl == "recon_e2e_wire":
             bench_recon_e2e_compact(probe_all=True)
+        elif wl == "mesh":
+            bench_mesh()
         elif wl in ("swin", "dit", "latte", "dslr", "gan"):
             bench_trainer_workload(wl)
         else:

@@ -70,3 +70,37 @@ def test_bench_wire_probe_emits_all_three_encodings():
         assert r["value"] > 0 and r["wire_mb_per_slice"] > 0
     assert (recs[f"{base}_flat16_throughput"]["wire_mb_per_slice"]
             < 0.6 * recs[f"{base}_throughput"]["wire_mb_per_slice"])
+
+
+def test_bench_mesh_sweep_smoke():
+    """BENCH_WORKLOAD=mesh on the 8-device virtual CPU mesh (round-4
+    verdict #10): one line per mesh factorization with throughput and the
+    vs-first-point scaling ratio; an explicit non-dividing point is
+    skipped with a note instead of crashing."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_SHAPE="8,16,8,2",
+               BENCH_ITERS="1", BENCH_REPEATS="1", BENCH_BATCH="8",
+               BENCH_NO_ARBITRATION="1", BENCH_WORKLOAD="mesh",
+               BENCH_MESH="8x1x1,4x2x1,3x1x1",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    # the axon sitecustomize initializes its backend at interpreter start
+    # and pins the device list to the one tunnel chip — strip it so the
+    # virtual 8-device CPU platform takes effect
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p) or ROOT
+    out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                         capture_output=True, text=True, env=env,
+                         timeout=900, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(l) for l in out.stdout.strip().splitlines()
+            if l.startswith("{")]
+    skipped = [r for r in recs if "skipped" in r]
+    timed = [r for r in recs if r.get("metric") == "mesh_res_train_throughput"]
+    assert len(skipped) == 1 and "3x1x1" in skipped[0]["metric"]
+    assert {r["mesh"] for r in timed} == {"8x1x1", "4x2x1"}
+    for r in timed:
+        assert r["value"] > 0 and r["global_batch"] == 8
+    assert timed[0]["vs_first_point"] == 1.0

@@ -128,11 +128,24 @@ class UnrolledLR(nn.Module):
 
         ATy_b = block_op(A(y, adjoint=True))  # [N, e*b^2, t]
 
+        # Fused Pallas path (DL_SWIN_GAN_PALLAS_DSLR=1): the CG hot chain
+        # block_op(A.normal(comp(., .))) as ONE kernel per (system, frame)
+        # with every intermediate VMEM-resident (kernels/llr_normal.py).
+        from dl_swin_gan_tpu.kernels.llr_normal import (
+            fusable, make_fused_block_normal, use_pallas_llr,
+        )
+        fused = (make_fused_block_normal(block_op, maps, mask)
+                 if use_pallas_llr() and fusable(maps, mask) else None)
+
         def normal_L(L, R_fixed):
+            if fused is not None:
+                return fused(L @ btranspose(R_fixed)) @ R_fixed
             x = block_op(A.normal(comp(L, R_fixed)))
             return x @ R_fixed
 
         def normal_R(R, L_fixed):
+            if fused is not None:
+                return btranspose(fused(L_fixed @ btranspose(R))) @ L_fixed
             x = block_op(A.normal(comp(L_fixed, R)))
             return btranspose(x) @ L_fixed
 
@@ -186,6 +199,11 @@ class UnrolledLR(nn.Module):
                 Lf, Rf = L, R  # frozen iterate for both solves (Jacobi)
 
                 def normal_pair(vL, vR, Lf=Lf, Rf=Rf):
+                    if fused is not None:
+                        # both systems in ONE kernel launch (grid S=2)
+                        oL, oR = fused(vL @ btranspose(Rf),
+                                       Lf @ btranspose(vR))
+                        return oL @ Rf, btranspose(oR) @ Lf
                     x2 = jnp.concatenate([comp(vL, Rf), comp(Lf, vR)],
                                          axis=0)
                     n2 = A2.normal(x2)

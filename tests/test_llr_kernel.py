@@ -69,8 +69,9 @@ def test_mats_blocks_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(blk))
 
 
-def test_matrix_form_matches_chain(rng):
-    block_op, blk, maps, mask = _problem(rng)
+@pytest.mark.parametrize("E", [1, 2])
+def test_matrix_form_matches_chain(rng, E):
+    block_op, blk, maps, mask = _problem(rng, E=E)
     ref = _chain(block_op, blk, maps, mask)
 
     m, w2, py, px, dinv = _kernel_args(block_op, maps, mask)
@@ -93,8 +94,9 @@ def test_matrix_form_no_mask(rng):
 
 
 @pytest.mark.skipif(not LN._HAS_PALLAS, reason="no pallas")
-def test_pallas_kernel_matches_matrix(rng):
-    block_op, blk, maps, mask = _problem(rng)
+@pytest.mark.parametrize("E", [1, 2])
+def test_pallas_kernel_matches_matrix(rng, E):
+    block_op, blk, maps, mask = _problem(rng, E=E)
     m, w2, py, px, dinv = _kernel_args(block_op, maps, mask)
     mats = LN.blocks_to_mats(blk, block_op)[None]
 

@@ -105,6 +105,15 @@ class UnrolledLR(nn.Module):
 
         mode = self.mode
 
+        # Fused Pallas path (DL_SWIN_GAN_PALLAS_DSLR=1): the hot chain
+        # block_op(A.normal(comp(., .))) as ONE kernel per (system, frame)
+        # with every intermediate VMEM-resident (kernels/llr_normal.py).
+        from dl_swin_gan_tpu.kernels.llr_normal import (
+            fusable, make_fused_block_normal, use_pallas_llr,
+        )
+        fused = (make_fused_block_normal(block_op, maps, mask)
+                 if use_pallas_llr() and fusable(maps, mask) else None)
+
         if mode == "dslr-pgd":
             pm_key = jax.random.PRNGKey(0)  # fixed like torch.rand w/o seed? deterministic here
 
@@ -114,9 +123,15 @@ class UnrolledLR(nn.Module):
                 return -alpha / eL.max(), -alpha / eR.max()
 
             ATy = A(y, adjoint=True)
+            ATy_blk = block_op(ATy)
             L, R = L0, R0
             for i in range(self.num_unrolls):
-                grad_x = block_op(A.normal(comp(L, R)) - ATy)
+                if fused is not None:
+                    # extract is linear: block_op(N(comp) - ATy) ==
+                    # fused(LR^H) - block_op(ATy)
+                    grad_x = fused(L @ btranspose(R)) - ATy_blk
+                else:
+                    grad_x = block_op(A.normal(comp(L, R)) - ATy)
                 grad_L = grad_x @ R
                 grad_R = btranspose(grad_x) @ L
                 sL, sR = step_sizes(L, R)
@@ -127,15 +142,6 @@ class UnrolledLR(nn.Module):
             return comp(L, R)
 
         ATy_b = block_op(A(y, adjoint=True))  # [N, e*b^2, t]
-
-        # Fused Pallas path (DL_SWIN_GAN_PALLAS_DSLR=1): the CG hot chain
-        # block_op(A.normal(comp(., .))) as ONE kernel per (system, frame)
-        # with every intermediate VMEM-resident (kernels/llr_normal.py).
-        from dl_swin_gan_tpu.kernels.llr_normal import (
-            fusable, make_fused_block_normal, use_pallas_llr,
-        )
-        fused = (make_fused_block_normal(block_op, maps, mask)
-                 if use_pallas_llr() and fusable(maps, mask) else None)
 
         def normal_L(L, R_fixed):
             if fused is not None:

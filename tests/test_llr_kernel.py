@@ -176,7 +176,7 @@ def test_solver_fused_path_matches_plain(rng, monkeypatch):
     blk0 = jnp.asarray(c64(block_op.num_blocks, E * B * B, T))
     L0, R0 = decompose(blk0, r)
 
-    for mode in ("dslr-cg-v1", "dslr-cg-jacobi"):
+    for mode in ("dslr-cg-v1", "dslr-cg-jacobi", "dslr-pgd", "modslr-v2"):
         model = UnrolledLR(mode=mode, num_unrolls=1, num_resblocks=1,
                            num_features=4, num_emaps=E, num_basis=r,
                            block_size=B, num_cg_steps=3)

@@ -25,10 +25,15 @@ key enabler is an all-matmul reformulation with zero in-kernel transposes:
     (ops/llr.py BlockOp: win :29-33, pad :56-66, weights :71-73).
   * The DFTs are ortho DFT matrix contractions (the TPU lowering of
     ops/fft.py) applied per frame to ALL coils at once: coil images are
-    stored [Y, C*X], so F_y applies as one [Y,Y]@[Y,C*X] GEMM and F_x as
-    one [(Y*C), X]@[X,X] GEMM after a FREE row-major reshape — the MXU
-    sees 512-column / 64-deep tiles instead of the per-coil [Y,X] slivers
-    that made kernels/sense_normal.py lose to XLA.
+    stored [Y, C*X] (tiling IS a GEMM with the [X, C*X] repeated-identity
+    matrix, and the coil sum its transpose), F_y applies as one
+    [Y,Y]@[Y,C*X] GEMM and F_x as one [Y,C*X]@[C*X,C*X] GEMM against the
+    block-diagonal DFT — every in-kernel op is a 2D matmul or elementwise
+    (nothing for Mosaic's reshape/concat rules to reject), and the MXU
+    sees 512-wide tiles instead of the per-coil [Y,X] slivers that made
+    kernels/sense_normal.py lose to XLA. The block-diagonal zeros waste
+    C× FLOPs on an op that is ~2% of the kernel's FLOPs — irrelevant in
+    the latency-bound regime this kernel targets.
 
 Per-frame working set is ~8 MB (<16 MB VMEM); the big factor tensors stay
 in HBM and stream through the grid. The tiny per-block factor GEMMs
@@ -192,56 +197,48 @@ def _cmm_cc_right(ar, ai, fr, fi):
 
 
 def _make_kernel(E, C, Y, X, YB, XB, d_pre):
+    """Everything is a 2D GEMM or an elementwise op — no in-kernel
+    reshape/concatenate for Mosaic to reject. Coil tiling is a GEMM with
+    the [X, C*X] repeated-identity matrix; the F_x DFT over every coil
+    block is one GEMM with the [C*X, C*X] block-diagonal DFT; the coil
+    sum is the tile matrix transposed."""
     def kernel(br_ref, bi_ref, mr_ref, mi_ref, w2_ref, dinv_ref,
-               py_ref, px_ref, fyr_ref, fyi_ref, fxr_ref, fxi_ref,
-               or_ref, oi_ref):
+               py_ref, px_ref, fyr_ref, fyi_ref, fxbr_ref, fxbi_ref,
+               tile_ref, or_ref, oi_ref):
         py = py_ref[:]                    # [YB, Y]
         px = px_ref[:]                    # [XB, X]
         dinv = dinv_ref[:]                # [Y, X]
-        w2 = w2_ref[0]                    # [Y, X]
+        w2c = w2_ref[0]                   # [Y, C*X] (pre-tiled)
         fyr, fyi = fyr_ref[:], fyi_ref[:]
-        fxr, fxi = fxr_ref[:], fxi_ref[:]
+        fxbr, fxbi = fxbr_ref[:], fxbi_ref[:]   # block-diag [C*X, C*X]
+        tile = tile_ref[:]                # [X, C*X] repeated identity
 
-        # combine: img_e = [Dinv ∘] (P_y^T Blk_e P_x)   [Y, X] each
-        imgs = []
+        # combine: img_e = [Dinv ∘] (P_y^T Blk_e P_x), then coil expand
+        # s = sum_e maps_e ∘ (img_e @ tile)          [Y, C*X]
+        sr = jnp.zeros((Y, C * X), jnp.float32)
+        si = jnp.zeros((Y, C * X), jnp.float32)
         for e in range(E):
             hr, hi = _rr_cmm(py.T, br_ref[0, 0, e], bi_ref[0, 0, e])
             xr, xi = _cmm_rr(hr, hi, px)
             if d_pre:
                 xr, xi = xr * dinv, xi * dinv
-            imgs.append((xr, xi))
-
-        # coil expand into the [Y, C*X] column-stacked layout: the maps are
-        # pre-tiled to [E, Y, C*X] outside, the image tiles via concat
-        sr = jnp.zeros((Y, C * X), jnp.float32)
-        si = jnp.zeros((Y, C * X), jnp.float32)
-        for e in range(E):
-            xr, xi = imgs[e]
-            xr_t = jnp.concatenate([xr] * C, axis=1)
-            xi_t = jnp.concatenate([xi] * C, axis=1)
+            xtr, xti = _cmm_rr(xr, xi, tile)
             mre, mie = mr_ref[e], mi_ref[e]
-            sr = sr + mre * xr_t - mie * xi_t
-            si = si + mre * xi_t + mie * xr_t
+            sr = sr + mre * xtr - mie * xti
+            si = si + mre * xti + mie * xtr
 
-        # F_y: one [Y,Y]@[Y,C*X] GEMM; F_x: free reshape to [(Y*C), X]
+        # F_y: [Y,Y]@[Y,C*X]; F_x: [Y,C*X]@[C*X,C*X] block-diag; mask; back
         kr, ki = _cmm_cc_left(fyr, fyi, sr, si)
-        kr = kr.reshape(Y * C, X)
-        ki = ki.reshape(Y * C, X)
-        kr, ki = _cmm_cc_right(kr, ki, fxr, fxi)
-        w2t = jnp.concatenate([w2] * C, axis=1).reshape(Y * C, X)
-        kr, ki = kr * w2t, ki * w2t
-        kr, ki = _cmm_cc_right(kr, ki, fxr, -fxi)
-        kr = kr.reshape(Y, C * X)
-        ki = ki.reshape(Y, C * X)
+        kr, ki = _cmm_cc_right(kr, ki, fxbr, fxbi)
+        kr, ki = kr * w2c, ki * w2c
+        kr, ki = _cmm_cc_right(kr, ki, fxbr, -fxbi)
         kr, ki = _cmm_cc_left(fyr, -fyi, kr, ki)
 
-        # coil combine + extract back to blocks
+        # coil combine (sum of coil blocks = @ tile^T) + extract to blocks
         for e in range(E):
             mre, mie = mr_ref[e], mi_ref[e]
-            gr = mre * kr + mie * ki
-            gi = mre * ki - mie * kr
-            gr = jnp.sum(gr.reshape(Y, C, X), axis=1)
-            gi = jnp.sum(gi.reshape(Y, C, X), axis=1)
+            gr, gi = _cmm_rr(mre * kr + mie * ki, mre * ki - mie * kr,
+                             tile.T)
             if not d_pre:
                 gr, gi = gr * dinv, gi * dinv
             hr, hi = _rr_cmm(py, gr, gi)
@@ -252,18 +249,29 @@ def _make_kernel(E, C, Y, X, YB, XB, d_pre):
     return kernel
 
 
-def _llr_normal_pallas(blk_r, blk_i, maps_cols_r, maps_cols_i, w2,
+@lru_cache(maxsize=None)
+def _coil_consts(C: int, X: int):
+    """(tile [X, C*X], fx block-diag re/im [C*X, C*X]) trace-time consts."""
+    fx_r, fx_i = _ortho_dft(X)
+    eye = np.eye(C, dtype=np.float32)
+    tile = np.tile(np.eye(X, dtype=np.float32), (1, C))
+    return (tile,
+            np.kron(eye, fx_r).astype(np.float32),
+            np.kron(eye, fx_i).astype(np.float32))
+
+
+def _llr_normal_pallas(blk_r, blk_i, maps_cols_r, maps_cols_i, w2_cols,
                        py, px, dinv, d_pre):
     S, T, E, YB, XB = blk_r.shape
     _, Y, CX = maps_cols_r.shape
-    X = w2.shape[-1]
+    X = dinv.shape[-1]
     C = CX // X
     fy_r, fy_i = (jnp.asarray(a) for a in _ortho_dft(Y))
-    fx_r, fx_i = (jnp.asarray(a) for a in _ortho_dft(X))
+    tile, fxb_r, fxb_i = (jnp.asarray(a) for a in _coil_consts(C, X))
 
     blk_spec = pl.BlockSpec((1, 1, E, YB, XB), lambda s, t: (s, t, 0, 0, 0))
     maps_spec = pl.BlockSpec((E, Y, CX), lambda s, t: (0, 0, 0))
-    w2_spec = pl.BlockSpec((1, Y, X), lambda s, t: (t, 0, 0))
+    w2_spec = pl.BlockSpec((1, Y, CX), lambda s, t: (t, 0, 0))
     fix2 = lambda shape: pl.BlockSpec(shape, lambda s, t: (0,) * len(shape))
 
     outr, outi = pl.pallas_call(
@@ -271,12 +279,13 @@ def _llr_normal_pallas(blk_r, blk_i, maps_cols_r, maps_cols_i, w2,
         grid=(S, T),
         in_specs=[blk_spec, blk_spec, maps_spec, maps_spec, w2_spec,
                   fix2((Y, X)), fix2((YB, Y)), fix2((XB, X)),
-                  fix2((Y, Y)), fix2((Y, Y)), fix2((X, X)), fix2((X, X))],
+                  fix2((Y, Y)), fix2((Y, Y)), fix2((CX, CX)),
+                  fix2((CX, CX)), fix2((X, CX))],
         out_specs=(blk_spec, blk_spec),
         out_shape=(jax.ShapeDtypeStruct(blk_r.shape, jnp.float32),
                    jax.ShapeDtypeStruct(blk_r.shape, jnp.float32)),
-    )(blk_r, blk_i, maps_cols_r, maps_cols_i, w2, dinv,
-      py, px, fy_r, fy_i, fx_r, fx_i)
+    )(blk_r, blk_i, maps_cols_r, maps_cols_i, w2_cols, dinv,
+      py, px, fy_r, fy_i, fxb_r, fxb_i, tile)
     return outr, outi
 
 
@@ -289,9 +298,11 @@ def _maps_cols(maps):
 
 def _apply_fused(blk, maps, w2, py, px, dinv, d_side):
     mcr, mci = _maps_cols(maps)
+    c = maps.shape[1]
+    w2_cols = jnp.tile(w2.astype(jnp.float32), (1, 1, c))  # [T, Y, C*X]
     outr, outi = _llr_normal_pallas(
         jnp.real(blk), jnp.imag(blk), mcr, mci,
-        w2.astype(jnp.float32), py, px, dinv, d_side == "pre")
+        w2_cols, py, px, dinv, d_side == "pre")
     return jax.lax.complex(outr, outi)
 
 

@@ -82,11 +82,19 @@ def _tpu_arbitration():
             locked = True
             with open(TRAINER_PIDFILE) as f:
                 pid = int(f.read().strip())
-            # only pause a live python trainer, never a recycled pid
-            with open(f"/proc/{pid}/cmdline", "rb") as f:
-                if b"python" in f.read():
-                    os.kill(pid, signal.SIGSTOP)
-                    stopped = pid
+            # only pause a live python trainer, never a recycled pid.
+            # /proc/<pid>/cmdline is EMPTY between fork and exec — and the
+            # watchdog records the pid right at launch — so retry briefly
+            # instead of skipping a trainer that hasn't exec'd yet.
+            for _ in range(20):
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmdline = f.read()
+                if cmdline:
+                    break
+                time.sleep(0.05)
+            if b"python" in cmdline:
+                os.kill(pid, signal.SIGSTOP)
+                stopped = pid
         except Exception:
             pass
         try:

@@ -203,22 +203,24 @@ def _make_kernel(E, C, Y, X, YB, XB, d_pre):
     block is one GEMM with the [C*X, C*X] block-diagonal DFT; the coil
     sum is the tile matrix transposed."""
     def kernel(br_ref, bi_ref, mr_ref, mi_ref, w2_ref, dinv_ref,
-               py_ref, px_ref, fyr_ref, fyi_ref, fxbr_ref, fxbi_ref,
-               tile_ref, or_ref, oi_ref):
-        py = py_ref[:]                    # [YB, Y]
-        px = px_ref[:]                    # [XB, X]
+               py_ref, pyt_ref, px_ref, pxt_ref, fyr_ref, fyi_ref,
+               fxbr_ref, fxbi_ref, tile_ref, tilet_ref, or_ref, oi_ref):
+        # transposed partners are separate inputs — Mosaic restricts
+        # in-kernel 2D transposes; these are trace-time constants anyway
+        py, pyt = py_ref[:], pyt_ref[:]   # [YB, Y], [Y, YB]
+        px, pxt = px_ref[:], pxt_ref[:]   # [XB, X], [X, XB]
         dinv = dinv_ref[:]                # [Y, X]
         w2c = w2_ref[0]                   # [Y, C*X] (pre-tiled)
         fyr, fyi = fyr_ref[:], fyi_ref[:]
         fxbr, fxbi = fxbr_ref[:], fxbi_ref[:]   # block-diag [C*X, C*X]
-        tile = tile_ref[:]                # [X, C*X] repeated identity
+        tile, tilet = tile_ref[:], tilet_ref[:]  # [X, C*X], [C*X, X]
 
         # combine: img_e = [Dinv ∘] (P_y^T Blk_e P_x), then coil expand
         # s = sum_e maps_e ∘ (img_e @ tile)          [Y, C*X]
         sr = jnp.zeros((Y, C * X), jnp.float32)
         si = jnp.zeros((Y, C * X), jnp.float32)
         for e in range(E):
-            hr, hi = _rr_cmm(py.T, br_ref[0, 0, e], bi_ref[0, 0, e])
+            hr, hi = _rr_cmm(pyt, br_ref[0, 0, e], bi_ref[0, 0, e])
             xr, xi = _cmm_rr(hr, hi, px)
             if d_pre:
                 xr, xi = xr * dinv, xi * dinv
@@ -238,11 +240,11 @@ def _make_kernel(E, C, Y, X, YB, XB, d_pre):
         for e in range(E):
             mre, mie = mr_ref[e], mi_ref[e]
             gr, gi = _cmm_rr(mre * kr + mie * ki, mre * ki - mie * kr,
-                             tile.T)
+                             tilet)
             if not d_pre:
                 gr, gi = gr * dinv, gi * dinv
             hr, hi = _rr_cmm(py, gr, gi)
-            br, bi = _cmm_rr(hr, hi, px.T)
+            br, bi = _cmm_rr(hr, hi, pxt)
             or_ref[0, 0, e] = br
             oi_ref[0, 0, e] = bi
 
@@ -278,14 +280,16 @@ def _llr_normal_pallas(blk_r, blk_i, maps_cols_r, maps_cols_i, w2_cols,
         _make_kernel(E, C, Y, X, YB, XB, d_pre),
         grid=(S, T),
         in_specs=[blk_spec, blk_spec, maps_spec, maps_spec, w2_spec,
-                  fix2((Y, X)), fix2((YB, Y)), fix2((XB, X)),
+                  fix2((Y, X)), fix2((YB, Y)), fix2((Y, YB)),
+                  fix2((XB, X)), fix2((X, XB)),
                   fix2((Y, Y)), fix2((Y, Y)), fix2((CX, CX)),
-                  fix2((CX, CX)), fix2((X, CX))],
+                  fix2((CX, CX)), fix2((X, CX)), fix2((CX, X))],
         out_specs=(blk_spec, blk_spec),
         out_shape=(jax.ShapeDtypeStruct(blk_r.shape, jnp.float32),
                    jax.ShapeDtypeStruct(blk_r.shape, jnp.float32)),
     )(blk_r, blk_i, maps_cols_r, maps_cols_i, w2_cols, dinv,
-      py, px, fy_r, fy_i, fxb_r, fxb_i, tile)
+      py, jnp.transpose(py), px, jnp.transpose(px),
+      fy_r, fy_i, fxb_r, fxb_i, tile, jnp.transpose(tile))
     return outr, outi
 
 

@@ -126,6 +126,26 @@ def test_pallas_kernel_batched_systems(rng):
 
 
 @pytest.mark.skipif(not LN._HAS_PALLAS, reason="no pallas")
+def test_pallas_kernel_under_vmap(rng):
+    """The DSLR trainer vmaps the solver for B>1; the kernel must batch
+    (pallas vmap rule adds a grid dim)."""
+    block_op, blk, maps, mask = _problem(rng, T=3)
+    m, w2, py, px, dinv = _kernel_args(block_op, maps, mask)
+    m1 = LN.blocks_to_mats(blk, block_op)[None]
+    m2 = LN.blocks_to_mats(jnp.roll(blk, 3, axis=0), block_op)[None]
+    both = jnp.stack([m1, m2])  # [2, 1, T, E, YB, XB]
+
+    out = jax.vmap(lambda v: LN.llr_normal_fused(v, m, w2, py, px, dinv))(
+        both)
+    ref1 = LN.llr_normal_fused(m1, m, w2, py, px, dinv)
+    ref2 = LN.llr_normal_fused(m2, m, w2, py, px, dinv)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(not LN._HAS_PALLAS, reason="no pallas")
 def test_fused_adjoint_and_vjp(rng):
     """<M b1, b2> == <b1, M^H b2> (Dinv post) and the custom VJP matches
     autodiff through the plain chain."""

@@ -47,6 +47,17 @@ Hermitian), so the custom VJP reuses the fused path like ops/sense.py.
 Opt-in via DL_SWIN_GAN_PALLAS_DSLR=1 (TPU only); `llr_normal_matrix` is
 the same math as plain XLA ops and serves CPU/tests and as the measured
 baseline.
+
+MEASURED (round 5, runs/profile_llr_fused_r5.log, interleaved with drift
+control 1.00-1.02x): the fused kernel is numerically correct on device
+(forward probe max|diff| 2.4e-3 on O(1) values) but SLOWER than the XLA
+chain it replaces — solver forward 0.86x, single CG factor solve 0.93x.
+The latency-bound XLA chain was already pipelining its ~10 stages across
+frames; one sequential (system, frame) Pallas grid serializes that
+overlap, and the all-matmul reformulation's extra FLOPs (dense projection
+GEMMs, block-diag DFT) cost more than the dispatch overhead they remove.
+Kept opt-in (off by default) as measured documentation of the approach;
+see docs/ARCHITECTURE.md "kernels/" close-out.
 """
 
 import os
@@ -101,8 +112,14 @@ def projection_matrices(block_op):
 
     py = axis_mat(block_op.num_blocks_y, block_op.pad_y[0], block_op.ny)
     px = axis_mat(block_op.num_blocks_x, block_op.pad_x[0], block_op.nx)
-    w = np.asarray(jnp.real(block_op.weights[0, 0, 0])).astype(np.float32)
-    dinv = 1.0 / (w + 1e-8)
+    # fold normalization combine(extract(ones)) is separable in (y, x):
+    # each axis contributes sum-over-covering-blocks of w1d^2, which is the
+    # column sum of the squared projection matrix — pure numpy, so BlockOp
+    # may be constructed inside a jit trace (trainer/profiler path) without
+    # materializing its traced `weights` (tests pin this against
+    # block_op.weights on concrete arrays)
+    w = (py ** 2).sum(0)[:, None] * (px ** 2).sum(0)[None, :]
+    dinv = (1.0 / (w + 1e-8)).astype(np.float32)
     return py, px, dinv
 
 
@@ -328,8 +345,15 @@ def _fused_fwd(blk, maps, w2, py, px, dinv):
 
 def _fused_bwd(res, g):
     maps, w2, py, px, dinv = res
-    gbar = jnp.conj(_apply_fused(jnp.conj(g), maps, w2, py, px, dinv,
-                                 "post"))
+    # The adjoint runs as the plain-XLA matrix twin, not a second Pallas
+    # launch: the 'post' kernel's scoped-VMEM footprint (double-buffered
+    # fixed operands incl. the [CX,CX] block-diag DFT pair) exceeds the
+    # 16 MB stack limit when embedded in the full train step (measured r5:
+    # 18.71M, compile-time OOM), while the forward kernel fits. Training
+    # therefore gets fused-forward + XLA-backward; the inference/CG hot
+    # chain (forward-only) is fully fused.
+    gbar = jnp.conj(llr_normal_matrix(jnp.conj(g), maps, w2, py, px, dinv,
+                                      "post"))
     return (gbar, jnp.zeros_like(maps), jnp.zeros_like(w2),
             jnp.zeros_like(py), jnp.zeros_like(px), jnp.zeros_like(dinv))
 

@@ -141,9 +141,10 @@ def main():
         os.environ["DL_SWIN_GAN_PALLAS_DSLR"] = env
         fwd = make_fwd()
         cg = make_cg_L()
-        step_fn, holder = make_step()
         params = state_master.params
-        # warm (compile)
+        # warm (compile) + time the forward-path members FIRST so the
+        # CG-chain numbers survive a train-step compile failure (r5: the
+        # fused adjoint kernel scoped-VMEM-OOMed inside the step)
         s0 = time.perf_counter()
         loss, probe = fwd(params, packed)
         sync(probe)
@@ -151,21 +152,31 @@ def main():
               f"loss={float(np.asarray(loss)):.4f}", flush=True)
         fwd_vals[tag] = np.asarray(probe)
         sync(cg(packed))
-        sync(step_fn())
         time_it(f"{tag}:fwd", lambda: fwd(params, packed))
         time_it(f"{tag}:cg_L", lambda: cg(packed))
-        time_it(f"{tag}:step", step_fn)
+        if os.environ.get("LLR_AB_SKIP_STEP") == "1":
+            continue
+        try:
+            step_fn, holder = make_step()
+            sync(step_fn())
+            time_it(f"{tag}:step", step_fn)
+        except Exception as e:  # noqa: BLE001 — keep fwd/cg results
+            print(f"[{tag}:step] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
     err = float(np.max(np.abs(fwd_vals["fused"] - fwd_vals["base"])))
     print(f"\nfused-vs-base forward probe max|diff| = {err:.3e}")
-    base, fused, ctrl = (results[f"{t}:step"]
-                         for t in ("base", "fused", "base/ctrl"))
-    print(f"step: base {base*1e3:.2f} ms, fused {fused*1e3:.2f} ms "
-          f"-> {base/fused:.2f}x  (drift ctrl/base {ctrl/base:.2f}x)")
+    if all(f"{t}:step" in results for t in ("base", "fused", "base/ctrl")):
+        base, fused, ctrl = (results[f"{t}:step"]
+                             for t in ("base", "fused", "base/ctrl"))
+        print(f"step: base {base*1e3:.2f} ms, fused {fused*1e3:.2f} ms "
+              f"-> {base/fused:.2f}x  (drift ctrl/base {ctrl/base:.2f}x)")
     for k in ("fwd", "cg_L"):
         b, f = results[f"base:{k}"], results[f"fused:{k}"]
+        c = results.get(f"base/ctrl:{k}")
+        drift = f" (drift ctrl/base {c/b:.2f}x)" if c else ""
         print(f"{k}: base {b*1e3:.2f} ms, fused {f*1e3:.2f} ms "
-              f"-> {b/f:.2f}x")
+              f"-> {b/f:.2f}x{drift}")
 
 
 if __name__ == "__main__":

@@ -209,3 +209,42 @@ def test_solver_fused_path_matches_plain(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(out_fused),
                                    np.asarray(out_plain),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_path_with_blockop_built_inside_jit(rng, monkeypatch):
+    """The trainer/profiler builds BlockOp INSIDE the jitted step, where its
+    `weights` is a tracer — projection_matrices must not materialize it
+    (r5 TPU regression: TracerArrayConversionError in the A/B harness)."""
+    E, C, T, Y, X, B = 1, 2, 4, 18, 12, 4
+
+    def c64(*s):
+        return (rng.standard_normal(s)
+                + 1j * rng.standard_normal(s)).astype(np.complex64)
+
+    maps = jnp.asarray(c64(1, E, C, 1, Y, X))
+    mask = jnp.asarray((rng.rand(1, 1, T, Y, X) < 0.5).astype(np.float32))
+    block_op_eager = BlockOp(B, (1, E, T, Y, X))
+    blk = jnp.asarray(c64(block_op_eager.num_blocks, E * B * B, T))
+    want = _chain(block_op_eager, blk, maps, mask)
+
+    monkeypatch.setenv("DL_SWIN_GAN_PALLAS_DSLR", "1")
+
+    @jax.jit
+    def fused_inside_jit(blk, maps, mask):
+        op = BlockOp(B, (1, E, T, Y, X))  # weights becomes a tracer here
+        fused = LN.make_fused_block_normal(op, maps, mask)
+        return fused(blk)
+
+    got = fused_inside_jit(blk, maps, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_projection_dinv_matches_fold_weights():
+    """The separable numpy fold normalization == combine(extract(ones))."""
+    for (Y, X, B) in ((18, 12, 4), (180, 64, 16)):
+        op = BlockOp(B, (1, 2, 3, Y, X))
+        py, px, dinv = LN.projection_matrices(op)
+        w_ref = np.real(np.asarray(op.weights[0, 0, 0]))
+        np.testing.assert_allclose(1.0 / dinv - 1e-8, w_ref,
+                                   rtol=1e-5, atol=1e-5)
